@@ -1,0 +1,122 @@
+"""Configuration for the TPU font-renderer framework.
+
+The reference keeps all configuration as module-level constants
+(model.py:64-84) plus TS-side constants (generate_font.ts:64-72,159) and a
+hardcoded ``CUDA_VISIBLE_DEVICES`` pin (model.py:95). Here everything is a
+frozen dataclass with the same defaults, no device pinning, fully overridable
+per run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from dataclasses import dataclass
+
+ASSETS_DIR = os.path.join(os.path.dirname(__file__), "..", "assets")
+FIRACODE_PATH = os.path.abspath(os.path.join(ASSETS_DIR, "FiraCode-Retina.ttf"))
+MONTSERRAT_PATH = os.path.abspath(os.path.join(ASSETS_DIR, "Montserrat-Regular.ttf"))
+
+# Printable ASCII charset rendered into the glyph atlas. Index 0 is space,
+# which must be ink-free (it doubles as the blank grid cell).
+PRINTABLE_ASCII = "".join(chr(c) for c in range(32, 127))
+
+
+@dataclass(frozen=True)
+class SheetSpec:
+    """Geometry of a rendered text sheet.
+
+    Defaults mirror generate_font.ts:64-72: 240x80 sheet, 12px font, 1.2x
+    line height, zero padding, and model.py:66's 100-char cap.
+    """
+
+    width: int = 240
+    height: int = 80
+    font_size: float = 12.0
+    line_height_factor: float = 1.2
+    padding: float = 0.0
+    max_chars: int = 100
+
+    @property
+    def line_height(self) -> float:
+        return self.font_size * self.line_height_factor
+
+    @property
+    def pixels(self) -> int:
+        return self.width * self.height
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """AttentionFontRenderer hyperparameters (model.py:64-84,129-156)."""
+
+    vocab_size: int = 128
+    embedding_dim: int = 32
+    num_heads: int = 4
+    max_length: int = 100
+    hidden_dim: int = 64
+    dropout_rate: float = 0.2
+    fc_dropout_rate: float = 0.25  # model.py:149 (DROPOUT_RATE + 0.05)
+    sheet_height: int = 80
+    sheet_width: int = 240
+    # Learned positional encodings; the reference records (model.py:26-27)
+    # that sinusoidal and RoPE fail on this task, so they stay learned.
+    pos_init_std: float = 0.02
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (model.py:64-84)."""
+
+    num_epochs: int = 10000
+    learning_rate: float = 1e-3
+    batch_size: int = 1024
+    early_stopping_patience: int = 70
+    validation_split: float = 0.2
+    weight_decay: float = 5e-4
+    adam_b1: float = 0.9
+    adam_b2: float = 0.99  # model.py:273 betas=(0.9, 0.99)
+    scheduler_patience: int = 20
+    scheduler_factor: float = 0.7
+    min_learning_rate: float = 1e-6
+    seed: int = 42
+    num_samples: int = 150000
+    # How often to log + render eval strings (model.py:349 renders every 5).
+    eval_every: int = 5
+    # Mixed precision for the dominant GEMMs; params/optimizer stay f32.
+    use_bfloat16: bool = True
+    # Checkpoint every N epochs (0 = only final). The reference only saves
+    # final weights (helpers.py:76-79); periodic checkpointing is new.
+    checkpoint_every: int = 25
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit sharding.
+
+    ``data`` shards the batch (DP, gradient psum over ICI); ``model`` shards
+    the dominant 6400x19200 output projection (TP). Defaults collapse to
+    single-device when only one chip is present.
+    """
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallel: int = 1
+    model_parallel: int = 1
+
+
+def num_lines(spec: SheetSpec, ascent_px: float) -> int:
+    """Number of text lines whose glyphs can intersect the sheet."""
+    n = 0
+    while True:
+        baseline = (n + 1) * spec.line_height
+        if baseline - ascent_px >= spec.height:
+            return n + 1  # current line is the first fully-invisible one
+        n += 1
+        if n > 64:
+            return n
+
+
+def replace(cfg, **kw):
+    return dataclasses.replace(cfg, **kw)
