@@ -107,11 +107,27 @@ def synthesize_sheets(
     slot_ix = jax.lax.broadcasted_iota(jnp.int32, (L, S), 1)
     # Gather each grid cell's phase-correct coverage cell.
     cells = ops.atlas[line_ix, slot_ix, grids]  # [B, L, S, ch, cw]
+    # f32 operands get HIGHEST precision so the f32 path is bit-exact vs the
+    # numpy oracle even on TPU (default MXU precision would truncate to bf16);
+    # the bf16 fast path is unaffected.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if ops.atlas.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     strips = jnp.einsum(
-        "blsac,scx->blax", cells, ops.col_place, preferred_element_type=jnp.float32
+        "blsac,scx->blax",
+        cells,
+        ops.col_place,
+        preferred_element_type=jnp.float32,
+        precision=prec,
     )
     cov = jnp.einsum(
-        "blax,lay->byx", strips, ops.row_place, preferred_element_type=jnp.float32
+        "blax,lay->byx",
+        strips,
+        ops.row_place,
+        preferred_element_type=jnp.float32,
+        precision=prec,
     )
     sheet = jnp.clip(1.0 - cov, 0.0, 1.0)
     if quantize:

@@ -7,7 +7,9 @@ fake-backend trick. Must run before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the container env pins JAX_PLATFORMS to the TPU plugin;
+# unit tests must run on the virtual CPU mesh (fast, multi-device).
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )

@@ -28,8 +28,14 @@ def test_word_structure():
         s = generate_text(seed)
         assert 10 <= len(s) <= 100
         assert not s.startswith(" ")
-        for word in s.split(" "):
+        # The reference appends a separator space whenever remaining > 0
+        # (generate_font.ts:192-195); if that decrement hits zero the string
+        # ends with a space, so the final split token may be empty. Interior
+        # tokens are always 1-10 chars.
+        words = s.split(" ")
+        for word in words[:-1]:
             assert 0 < len(word) <= 10
+        assert len(words[-1]) <= 10
 
 
 def test_corpus_indexing():
