@@ -63,6 +63,9 @@ class ModelConfig:
     # Learned positional encodings; the reference records (model.py:26-27)
     # that sinusoidal and RoPE fail on this task, so they stay learned.
     pos_init_std: float = 0.02
+    # Run the dominant output GEMM in bf16 (f32 accumulation). The reference
+    # found fp16 quality-neutral (model.py:31); bf16 is the MXU-native mode.
+    bf16_matmul: bool = True
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,154 @@
+"""AttentionFontRenderer: char codes -> pixel sheet, as pure functions.
+
+Functionally equivalent to the reference model (model.py:129-204):
+
+    embed(128->32) + dropout                      (model.py:136-137,166-168)
+    + learned positional encoding [100,32]        (model.py:140-141,171-172)
+    -> 1x MultiheadAttention(4 heads, dropout)    (model.py:144,175-177)
+    -> residual + post-LayerNorm                  (model.py:145,180)
+    -> ReLU(Linear 32->64) + dropout              (model.py:148-149,183-184)
+    -> flatten 100*64 -> Linear 6400->19200       (model.py:152,196)
+    -> reshape [80,240], clamp(0,1)               (model.py:156,199-202)
+
+~122.9M parameters, 99.99% of them in the output projection — the model IS a
+giant GEMM with a small attention frontend, which is exactly what the MXU
+wants. Design choices for TPU:
+
+  * pure ``init``/``apply`` with params as a flat dict pytree — jit/grad/
+    shard-friendly, no framework state;
+  * dropout via explicit PRNG keys (deterministic, replayable);
+  * the dominant GEMM runs in bf16 with f32 accumulation (params stay f32);
+  * positional encodings stay LEARNED: the reference found sinusoidal and
+    RoPE fail completely on this task (model.py:26-27).
+
+The reference's zero-padding of short sequences (model.py:190-193) is
+preserved structurally: inputs are always padded to max_length with code 0,
+and padded positions flow through attention unmasked exactly as in the
+reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def init(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
+    """Initialize parameters (distributions follow torch's module defaults)."""
+    e, h = cfg.embedding_dim, cfg.hidden_dim
+    flat = cfg.max_length * h
+    pixels = cfg.sheet_height * cfg.sheet_width
+    keys = jax.random.split(key, 12)
+    xavier = (6.0 / (e + e)) ** 0.5  # MHA in_proj: xavier_uniform
+    return {
+        "embedding": jax.random.normal(keys[0], (cfg.vocab_size, e)),
+        "pos": cfg.pos_init_std * jax.random.normal(keys[1], (cfg.max_length, e)),
+        "wq": _uniform(keys[2], (e, e), xavier),
+        "wk": _uniform(keys[3], (e, e), xavier),
+        "wv": _uniform(keys[4], (e, e), xavier),
+        "bq": jnp.zeros((e,)),
+        "bk": jnp.zeros((e,)),
+        "bv": jnp.zeros((e,)),
+        "wo": _uniform(keys[5], (e, e), 1.0 / e**0.5),
+        "bo": jnp.zeros((e,)),
+        "ln_scale": jnp.ones((e,)),
+        "ln_bias": jnp.zeros((e,)),
+        "fc1_w": _uniform(keys[6], (e, h), 1.0 / e**0.5),
+        "fc1_b": _uniform(keys[7], (h,), 1.0 / e**0.5),
+        "out_w": _uniform(keys[8], (flat, pixels), 1.0 / flat**0.5),
+        "out_b": _uniform(keys[9], (pixels,), 1.0 / flat**0.5),
+    }
+
+
+def param_count(params: dict) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+def _dropout(x, rate, key, train):
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def attention(params, x, cfg: ModelConfig, *, train=False, key=None):
+    """Multi-head self-attention, math-equal to torch's MultiheadAttention.
+
+    x: [B, S, E]. Softmax(QK^T / sqrt(E/H)) with dropout on the attention
+    probabilities (as torch applies it), then output projection.
+    """
+    B, S, E = x.shape
+    H = cfg.num_heads
+    d = E // H
+    q = (x @ params["wq"] + params["bq"]).reshape(B, S, H, d)
+    k = (x @ params["wk"] + params["bk"]).reshape(B, S, H, d)
+    v = (x @ params["wv"] + params["bv"]).reshape(B, S, H, d)
+    logits = jnp.einsum("bshd,bthd->bhst", q, k) / jnp.sqrt(jnp.float32(d))
+    probs = jax.nn.softmax(logits, axis=-1)
+    if train:
+        probs = _dropout(probs, cfg.dropout_rate, key, train)
+    out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(B, S, E)
+    return out @ params["wo"] + params["bo"]
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    mean = jnp.mean(x, -1, keepdims=True)
+    var = jnp.var(x, -1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+@partial(jax.jit, static_argnames=("cfg", "train"))
+def apply(
+    params: dict,
+    codes: jax.Array,
+    cfg: ModelConfig = ModelConfig(),
+    *,
+    train: bool = False,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Forward pass: int codes [B, <=max_length] -> sheets [B, H, W] in [0,1]."""
+    B, S = codes.shape
+    S = min(S, cfg.max_length)
+    codes = codes[:, :S]
+    if train:
+        k_emb, k_attn, k_fc = jax.random.split(key, 3)
+    else:
+        k_emb = k_attn = k_fc = None
+
+    x = params["embedding"][codes]  # [B, S, E]
+    x = _dropout(x, cfg.dropout_rate, k_emb, train)
+    x = x + params["pos"][:S]
+
+    attn = attention(params, x, cfg, train=train, key=k_attn)
+    x = _layer_norm(x + attn, params["ln_scale"], params["ln_bias"])
+
+    x = jax.nn.relu(x @ params["fc1_w"] + params["fc1_b"])  # [B, S, hidden]
+    x = _dropout(x, cfg.fc_dropout_rate, k_fc, train)
+
+    flat = x.reshape(B, S * cfg.hidden_dim)
+    full = cfg.max_length * cfg.hidden_dim
+    if flat.shape[1] < full:  # zero-pad short sequences (model.py:190-193)
+        flat = jnp.pad(flat, ((0, 0), (0, full - flat.shape[1])))
+
+    # The dominant GEMM: [B, 6400] @ [6400, 19200]. bf16 inputs, f32
+    # accumulation — the MXU's native mode.
+    dt = jnp.bfloat16 if cfg.bf16_matmul else jnp.float32
+    sheet = (
+        jnp.dot(
+            flat.astype(dt),
+            params["out_w"].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + params["out_b"]
+    )
+    sheet = sheet.reshape(B, cfg.sheet_height, cfg.sheet_width)
+    return jnp.clip(sheet, 0.0, 1.0)  # clamped linear output (model.py:156)

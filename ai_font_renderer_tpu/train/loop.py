@@ -1,0 +1,241 @@
+"""The training loop: device epochs + host control.
+
+Orchestrates what model.py:209-421 does — 80/20 split, epoch loop with
+validation, ReduceLROnPlateau, early stopping with best-weights restore,
+periodic eval renders, run manifests — around the fused device epoch of
+``step.py``. All numerics run on device; the host only shuffles indices,
+steps the scheduler, and logs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, TrainConfig
+from ..fontgen.atlas import GlyphAtlas
+from ..fontgen.dataset import (
+    DeviceDataset,
+    build_device_dataset,
+    split_permutation,
+    split_sizes,
+)
+from ..utils.checkpoint import CheckpointManager
+from ..utils.metrics import MetricsLogger, Stopwatch
+from . import step as train_step_mod
+from .manifests import write_config_manifest, write_results_manifest
+from .schedule import EarlyStopping, ReduceLROnPlateau
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: dict
+    best_val_loss: float
+    final_epoch: int
+    early_stopped: bool
+    final_lr: float
+    history: list
+
+
+def _val_batches(val_idx: np.ndarray, batch_size: int):
+    """Pad validation indices to whole batches with zero-weight repeats."""
+    n = len(val_idx)
+    steps = max(1, -(-n // batch_size))
+    padded = np.zeros(steps * batch_size, np.int32)
+    padded[:n] = val_idx
+    padded[n:] = val_idx[-1] if n else 0
+    weights = np.zeros(steps * batch_size, np.float32)
+    weights[:n] = 1.0
+    return (
+        padded.reshape(steps, batch_size),
+        weights.reshape(steps, batch_size),
+    )
+
+
+def train(
+    dataset: DeviceDataset,
+    mcfg: ModelConfig = ModelConfig(),
+    tcfg: TrainConfig = TrainConfig(),
+    output_dir: str | None = None,
+    eval_strings: list[str] | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    log=print,
+) -> TrainResult:
+    """Train the font renderer; returns best params + run stats."""
+    n = dataset.num_samples
+    batch_size = min(tcfg.batch_size, n)
+    train_size, val_size = split_sizes(n, tcfg.validation_split)
+    log(f"Dataset split: {train_size} training samples, {val_size} validation samples")
+
+    perm = split_permutation(n, tcfg.seed)
+    train_idx = perm[:train_size].astype(np.int32)
+    val_idx = perm[train_size:].astype(np.int32)
+    steps_per_epoch = max(1, train_size // batch_size)
+    val_batch_idx, val_weights = _val_batches(val_idx, batch_size)
+    val_batch_idx = jnp.asarray(val_batch_idx)
+    val_weights = jnp.asarray(val_weights)
+
+    if output_dir:
+        write_config_manifest(output_dir, mcfg, tcfg, batch_size, n)
+    metrics = MetricsLogger(
+        f"{output_dir}/metrics.jsonl" if output_dir else None
+    )
+
+    key = jax.random.PRNGKey(tcfg.seed)
+    state = train_step_mod.init_state(key, mcfg, tcfg)
+    scheduler = ReduceLROnPlateau(
+        lr=tcfg.learning_rate,
+        factor=tcfg.scheduler_factor,
+        patience=tcfg.scheduler_patience,
+        min_lr=tcfg.min_learning_rate,
+    )
+    early = EarlyStopping(patience=tcfg.early_stopping_patience)
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    start_epoch = 0
+    if ckpt and resume and ckpt.latest_step() is not None:
+        step_num, tree, host = ckpt.restore()
+        state = train_step_mod.TrainState(tree["params"], _retuple(tree["opt_state"], state.opt_state))
+        start_epoch = step_num + 1
+        scheduler.lr = host["lr"]
+        scheduler.best = host["scheduler_best"]
+        scheduler.num_bad_epochs = host["scheduler_bad_epochs"]
+        early.best_loss = host["best_val_loss"]
+        early.counter = host["early_counter"]
+        log(f"Resumed from checkpoint at epoch {step_num}")
+
+    shuffle_rng = np.random.default_rng(tcfg.seed + 1)
+    history: list[dict] = []
+    lr = scheduler.lr
+    epoch = start_epoch - 1
+    stopped = False
+    watch = Stopwatch()
+
+    for epoch in range(start_epoch, tcfg.num_epochs):
+        epoch_perm = shuffle_rng.permutation(train_size)[
+            : steps_per_epoch * batch_size
+        ]
+        batch_idx = jnp.asarray(
+            train_idx[epoch_perm].reshape(steps_per_epoch, batch_size)
+        )
+        epoch_key = jax.random.fold_in(key, epoch)
+        state, train_loss = train_step_mod.train_epoch(
+            state,
+            dataset.codes,
+            dataset.targets_u8,
+            batch_idx,
+            jnp.float32(lr),
+            epoch_key,
+            mcfg,
+            tcfg,
+        )
+        val_loss = float(
+            train_step_mod.eval_epoch(
+                state.params,
+                dataset.codes,
+                dataset.targets_u8,
+                val_batch_idx,
+                val_weights,
+                mcfg,
+            )
+        )
+        train_loss = float(train_loss)
+        lr = scheduler.step(val_loss)
+        # Snapshot best params with a real copy: the next epoch donates the
+        # state's buffers, which would invalidate a mere reference.
+        is_best = early.update(
+            val_loss, None
+        )
+        if is_best:
+            early.best_state = jax.tree.map(jnp.copy, state.params)
+
+        seconds = watch.lap()
+        history.append(
+            {
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "lr": lr,
+                "seconds": seconds,
+            }
+        )
+        metrics.log(
+            epoch=epoch,
+            train_loss=train_loss,
+            val_loss=val_loss,
+            lr=lr,
+            seconds=seconds,
+            samples_per_sec=steps_per_epoch * batch_size / max(seconds, 1e-9),
+        )
+
+        if epoch % tcfg.eval_every == 0:
+            status = (
+                f"Epoch {epoch}, Train Loss: {train_loss:.6f}, "
+                f"Val Loss: {val_loss:.6f}, LR: {lr:.6f}"
+            )
+            if is_best:
+                status += " (New Best)"
+            log(status)
+            if output_dir and eval_strings:
+                from ..render.render import render_strings
+
+                render_strings(
+                    state.params, eval_strings, f"{output_dir}/epoch_{epoch}", mcfg
+                )
+        elif is_best:
+            log(f"Epoch {epoch}, New best validation loss: {val_loss:.6f}")
+
+        if ckpt and tcfg.checkpoint_every and (
+            epoch % tcfg.checkpoint_every == 0 or epoch == tcfg.num_epochs - 1
+        ):
+            ckpt.save(
+                epoch,
+                {"params": state.params, "opt_state": state.opt_state},
+                {
+                    "lr": lr,
+                    "scheduler_best": scheduler.best,
+                    "scheduler_bad_epochs": scheduler.num_bad_epochs,
+                    "best_val_loss": early.best_loss,
+                    "early_counter": early.counter,
+                    "epoch": epoch,
+                },
+            )
+
+        if early.should_stop:
+            log(
+                f"Early stopping at epoch {epoch}, "
+                f"Best Val Loss: {early.best_loss:.6f}"
+            )
+            stopped = True
+            break
+
+    best_params = (
+        early.best_state if early.best_state is not None else state.params
+    )
+    if not stopped:
+        log(f"Training completed, Best Val Loss: {early.best_loss:.6f}")
+
+    final_epoch = epoch + 1 if not stopped else epoch
+    if output_dir:
+        write_results_manifest(
+            output_dir, final_epoch, early.best_loss, lr, stopped
+        )
+    return TrainResult(
+        params=best_params,
+        best_val_loss=early.best_loss,
+        final_epoch=final_epoch,
+        early_stopped=stopped,
+        final_lr=lr,
+        history=history,
+    )
+
+
+def _retuple(restored, template):
+    """Orbax restores NamedTuples as nested lists/dicts; rebuild the original
+    optax state structure from the template's treedef."""
+    leaves = jax.tree_util.tree_leaves(restored)
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -1,0 +1,154 @@
+"""Fused training step + whole-epoch device loops.
+
+The reference's inner loop (model.py:291-311) is per-batch Python: zero_grad,
+forward, MSE, backward, step, with host<->device transfers every batch and a
+32-worker DataLoader feeding it. Here the entire epoch is ONE device call:
+
+  * MSE -> value_and_grad -> AdamW update in a single jitted function with
+    donated buffers (params/optimizer state update in place in HBM);
+  * `lax.scan` over the epoch's batch indices, gathering each batch from the
+    device-resident corpus (see fontgen/dataset.py) — zero host round-trips,
+    zero input pipeline overhead;
+  * dropout keys derived per-step by `fold_in` (deterministic, replayable).
+
+AdamW matches torch exactly (model.py:273: lr=1e-3, betas=(0.9,0.99),
+eps=1e-8, weight_decay=5e-4 applied to all parameters):
+    p <- p - lr * (m_hat / (sqrt(v_hat) + eps) + wd * p)
+with the learning rate passed in as a runtime scalar so the host-side
+plateau scheduler never triggers recompilation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import ModelConfig, TrainConfig
+from ..models import font_renderer
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=1e-8),
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.scale(-1.0),
+    )
+
+
+def init_state(key: jax.Array, mcfg: ModelConfig, tcfg: TrainConfig) -> TrainState:
+    params = font_renderer.init(key, mcfg)
+    opt_state = make_optimizer(tcfg).init(params)
+    return TrainState(params, opt_state)
+
+
+def mse_loss(pred: jax.Array, target: jax.Array) -> jax.Array:
+    """Plain MSE over all pixels (model.py:269-270), f32."""
+    d = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    return jnp.mean(d * d)
+
+
+def loss_fn(params, codes, targets, mcfg, key, train):
+    pred = font_renderer.apply(params, codes, mcfg, train=train, key=key)
+    return mse_loss(pred, targets)
+
+
+@partial(
+    jax.jit, static_argnames=("mcfg", "tcfg"), donate_argnames=("state",)
+)
+def train_step(
+    state: TrainState,
+    codes: jax.Array,
+    targets: jax.Array,
+    lr: jax.Array,
+    key: jax.Array,
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+) -> tuple[TrainState, jax.Array]:
+    """One optimizer step. `lr` is a traced scalar (no recompiles on decay)."""
+    loss, grads = jax.value_and_grad(loss_fn)(
+        state.params, codes, targets, mcfg, key, True
+    )
+    opt = make_optimizer(tcfg)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    updates = jax.tree.map(lambda u: lr * u, updates)
+    params = optax.apply_updates(state.params, updates)
+    return TrainState(params, opt_state), loss
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mcfg", "tcfg"),
+    donate_argnames=("state",),
+)
+def train_epoch(
+    state: TrainState,
+    codes_all: jax.Array,  # int32 [N, max_chars] device-resident
+    targets_all: jax.Array,  # uint8 [N, H, W] device-resident
+    batch_idx: jax.Array,  # int32 [steps, B] shuffled sample indices
+    lr: jax.Array,
+    key: jax.Array,
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+) -> tuple[TrainState, jax.Array]:
+    """A full training epoch as one `lax.scan` — a single device dispatch.
+
+    Returns (new_state, mean train loss over the epoch's batches), matching
+    the reference's avg_train_loss (model.py:333).
+    """
+    opt = make_optimizer(tcfg)
+
+    def step(carry, idx):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        codes = jnp.take(codes_all, idx, axis=0)
+        targets = jnp.take(targets_all, idx, axis=0).astype(jnp.float32) / 255.0
+        loss, grads = jax.value_and_grad(loss_fn)(
+            st.params, codes, targets, mcfg, sub, True
+        )
+        updates, opt_state = opt.update(grads, st.opt_state, st.params)
+        updates = jax.tree.map(lambda u: lr * u, updates)
+        params = optax.apply_updates(st.params, updates)
+        return (TrainState(params, opt_state), k), loss
+
+    (state, _), losses = jax.lax.scan(step, (state, key), batch_idx)
+    return state, jnp.mean(losses)
+
+
+@partial(jax.jit, static_argnames=("mcfg",))
+def eval_epoch(
+    params: dict,
+    codes_all: jax.Array,
+    targets_all: jax.Array,
+    batch_idx: jax.Array,  # int32 [steps, B], padded with repeats at the tail
+    weights: jax.Array,  # f32 [steps, B], 0 for padded entries
+    mcfg: ModelConfig,
+) -> jax.Array:
+    """Validation pass (no dropout), one device call.
+
+    Reports the sample-weighted mean MSE. (The reference averages per-batch
+    means with a ragged final batch, model.py:334, which overweights the
+    remainder; sample weighting is the principled equivalent and identical
+    when batches divide evenly.)
+    """
+
+    def step(carry, inp):
+        idx, w = inp
+        codes = jnp.take(codes_all, idx, axis=0)
+        targets = jnp.take(targets_all, idx, axis=0).astype(jnp.float32) / 255.0
+        pred = font_renderer.apply(params, codes, mcfg, train=False)
+        per_sample = jnp.mean(
+            (pred - targets) ** 2, axis=(1, 2), dtype=jnp.float32
+        )
+        return carry, (jnp.sum(per_sample * w), jnp.sum(w))
+
+    _, (sums, counts) = jax.lax.scan(step, None, (batch_idx, weights))
+    return jnp.sum(sums) / jnp.maximum(jnp.sum(counts), 1.0)

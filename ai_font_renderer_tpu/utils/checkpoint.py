@@ -1,0 +1,96 @@
+"""Model persistence + resumable training checkpoints.
+
+Two layers, mirroring and exceeding the reference:
+
+  * :func:`save_params` / :func:`load_params` — single-file npz of model
+    weights, the equivalent of the reference's ``font_renderer.pth``
+    final-weights save/load (helpers.py:18,76-105). Same contract: save
+    after training, load-or-train at startup.
+  * :class:`CheckpointManager` — orbax-backed full-state checkpoints
+    (params + optimizer state + epoch + host control state), giving
+    mid-training resume the reference lacks entirely (a crash there loses
+    the run: best weights only ever live in RAM, model.py:344).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+MODEL_FILENAME = "font_renderer.npz"  # analog of helpers.py:18
+
+
+def save_params(params: dict, filename: str = MODEL_FILENAME) -> None:
+    """Save model weights to a single npz file (cf. helpers.py:76-79)."""
+    flat = {k: np.asarray(v) for k, v in params.items()}
+    d = os.path.dirname(filename)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    np.savez(filename, **flat)
+    print(f"Model saved to {filename}")
+
+
+def load_params(filename: str = MODEL_FILENAME) -> dict:
+    """Load model weights saved by :func:`save_params` (cf. helpers.py:81-105)."""
+    z = np.load(filename)
+    params = {k: jax.numpy.asarray(z[k]) for k in z.files}
+    print(f"Model loaded from {filename}")
+    return params
+
+
+class CheckpointManager:
+    """Orbax step checkpoints + a JSON sidecar for host control state."""
+
+    def __init__(self, directory: str, keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        self.keep = keep
+        self._ckptr = ocp.PyTreeCheckpointer()
+
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step:08d}")
+
+    def steps(self) -> list[int]:
+        if not os.path.isdir(self.directory):
+            return []
+        out = []
+        for name in os.listdir(self.directory):
+            if name.startswith("step_") and os.path.exists(
+                os.path.join(self.directory, name, "host_state.json")
+            ):
+                out.append(int(name.split("_")[1]))
+        return sorted(out)
+
+    def latest_step(self) -> int | None:
+        steps = self.steps()
+        return steps[-1] if steps else None
+
+    def save(self, step: int, tree, host_state: dict) -> None:
+        """Save device pytree + host-side control state atomically enough:
+        the JSON sidecar is written last and marks the checkpoint complete."""
+        path = self._step_dir(step)
+        tmp = path + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        self._ckptr.save(os.path.join(tmp, "tree"), tree)
+        os.replace(tmp, path)
+        with open(os.path.join(path, "host_state.json"), "w") as f:
+            json.dump(host_state, f)
+        for old in self.steps()[: -self.keep]:
+            shutil.rmtree(self._step_dir(old), ignore_errors=True)
+
+    def restore(self, step: int | None = None):
+        """Returns (step, tree, host_state); step=None restores the latest."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        path = self._step_dir(step)
+        tree = self._ckptr.restore(os.path.join(path, "tree"))
+        with open(os.path.join(path, "host_state.json")) as f:
+            host_state = json.load(f)
+        return step, tree, host_state

@@ -1,0 +1,173 @@
+"""Training tests: scheduler/early-stop parity, optimizer math, e2e smoke."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_font_renderer_tpu.config import (
+    FIRACODE_PATH,
+    ModelConfig,
+    SheetSpec,
+    TrainConfig,
+)
+from ai_font_renderer_tpu.fontgen import bake_atlas
+from ai_font_renderer_tpu.fontgen.dataset import build_device_dataset
+from ai_font_renderer_tpu.train import (
+    EarlyStopping,
+    ReduceLROnPlateau,
+    init_state,
+    train,
+    train_epoch,
+    train_step,
+)
+
+
+class TestReduceLROnPlateau:
+    def test_reduces_after_patience(self):
+        s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2)
+        s.step(1.0)
+        for _ in range(2):
+            assert s.step(1.0) == 1.0  # within patience
+        assert s.step(1.0) == 0.5  # bad epochs (3) > patience (2)
+
+    def test_improvement_resets(self):
+        s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=2)
+        s.step(1.0)
+        s.step(1.0)
+        s.step(0.5)  # improvement
+        s.step(0.5)
+        s.step(0.5)
+        assert s.lr == 1.0  # not yet > patience since reset
+        assert s.step(0.5) == 0.5
+
+    def test_relative_threshold(self):
+        # torch semantics: improvement must beat best * (1 - 1e-4).
+        s = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=0)
+        s.step(1.0)
+        assert s.step(0.99999) == 0.5  # insignificant -> reduce immediately
+
+    def test_min_lr_floor(self):
+        s = ReduceLROnPlateau(lr=1e-6, factor=0.5, patience=0, min_lr=1e-6)
+        s.step(1.0)
+        assert s.step(1.0) == 1e-6
+
+
+class TestEarlyStopping:
+    def test_stops_after_patience(self):
+        e = EarlyStopping(patience=3)
+        assert e.update(1.0, "s0")
+        for i in range(3):
+            assert not e.update(2.0, f"s{i}")
+        assert e.should_stop
+        assert e.best_state == "s0"
+
+    def test_strict_improvement(self):
+        e = EarlyStopping(patience=2)
+        e.update(1.0, "a")
+        assert not e.update(1.0, "b")  # equal is not better (model.py:340)
+        assert e.counter == 1
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    # Tiny geometry (20x60 sheet, 24-char cap) keeps the CPU test model at
+    # ~2M params instead of 123M; the full-size model trains on TPU and is
+    # covered by forward-pass tests + the TPU bench.
+    spec = SheetSpec(width=60, height=20, max_chars=24)
+    atlas = bake_atlas(FIRACODE_PATH, spec)
+    ds = build_device_dataset(atlas, num_samples=96, synth_batch=32)
+    mcfg = ModelConfig(max_length=24, sheet_height=20, sheet_width=60)
+    tcfg = TrainConfig(batch_size=16, num_samples=96, eval_every=2)
+    return ds, mcfg, tcfg
+
+
+def test_train_step_reduces_loss(tiny_setup):
+    ds, mcfg, tcfg = tiny_setup
+    state = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    idx = jnp.arange(16, dtype=jnp.int32)
+    codes, targets = ds.gather_batch(idx)
+    losses = []
+    for i in range(8):
+        state, loss = train_step(
+            state,
+            codes,
+            targets,
+            jnp.float32(1e-3),
+            jax.random.PRNGKey(i),
+            mcfg,
+            tcfg,
+        )
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(losses))
+
+
+def test_train_epoch_matches_stepwise_structure(tiny_setup):
+    ds, mcfg, tcfg = tiny_setup
+    state = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    batch_idx = jnp.arange(96, dtype=jnp.int32).reshape(6, 16)
+    state2, loss = train_epoch(
+        state,
+        ds.codes,
+        ds.targets_u8,
+        batch_idx,
+        jnp.float32(1e-3),
+        jax.random.PRNGKey(1),
+        mcfg,
+        tcfg,
+    )
+    assert np.isfinite(float(loss))
+    # Params actually moved.
+    assert float(jnp.abs(state2.params["out_b"]).sum()) > 0
+
+
+def test_end_to_end_training_smoke(tiny_setup, tmp_path):
+    ds, mcfg, tcfg = tiny_setup
+    tcfg = TrainConfig(
+        batch_size=16,
+        num_samples=96,
+        num_epochs=6,
+        eval_every=3,
+        checkpoint_every=0,
+    )
+    out = str(tmp_path / "run")
+    result = train(
+        ds, mcfg, tcfg, output_dir=out, eval_strings=["HI"], log=lambda *_: None
+    )
+    assert result.final_epoch == 6
+    assert np.isfinite(result.best_val_loss)
+    # Loss goes down over the short run.
+    assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
+    # Manifests written with the reference's keys.
+    cfg_txt = open(os.path.join(out, "config.txt")).read()
+    assert "learning_rate = 0.001" in cfg_txt
+    assert "sheet_height = 20" in cfg_txt  # tiny test geometry
+    res_txt = open(os.path.join(out, "training_results.txt")).read()
+    assert "best_validation_loss" in res_txt
+    assert "early_stopped = False" in res_txt
+    # Eval renders produced.
+    assert os.path.exists(os.path.join(out, "epoch_0", "string_0.bmp"))
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+
+
+def test_checkpoint_resume(tiny_setup, tmp_path):
+    ds, mcfg, _ = tiny_setup
+    tcfg = TrainConfig(
+        batch_size=16, num_samples=96, num_epochs=2, eval_every=10,
+        checkpoint_every=1,
+    )
+    ckdir = str(tmp_path / "ck")
+    r1 = train(ds, mcfg, tcfg, checkpoint_dir=ckdir, log=lambda *_: None)
+    # Resume continues to a later epoch rather than restarting.
+    tcfg2 = TrainConfig(
+        batch_size=16, num_samples=96, num_epochs=4, eval_every=10,
+        checkpoint_every=1,
+    )
+    r2 = train(
+        ds, mcfg, tcfg2, checkpoint_dir=ckdir, resume=True, log=lambda *_: None
+    )
+    assert r2.final_epoch == 4
+    assert len(r2.history) == 2  # only epochs 2 and 3 ran
