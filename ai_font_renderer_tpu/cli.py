@@ -1,0 +1,230 @@
+"""Command-line interface.
+
+Preserves the reference's public contract (model.py:425-454):
+
+  * ``--train``       train a new model, save weights, render test strings;
+  * no arguments      load saved weights if present, else train+save; then
+                      render the test strings;
+  * unknown option    print usage and exit 1;
+  * outputs           BMPs + manifests under ``train_output_<timestamp>/``
+                      (model.py:70-71), weights in a single file at the repo
+                      root (``font_renderer.npz``, cf. helpers.py:18).
+
+Extended subcommands (new capabilities, opt-in):
+
+  * ``fontgen``       export the dataset to disk like generate_font.ts did
+                      (train_input/{i}.bmp + data.txt + dataset_metadata.txt)
+                      — the on-device pipeline doesn't need it, but the
+                      file contract is preserved for interop;
+  * ``render``        render arbitrary strings with saved weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+import numpy as np
+
+from .config import FIRACODE_PATH, ModelConfig, SheetSpec, TrainConfig, replace
+
+# Curated adversarial eval strings (model.py:111-127), rendered every 5
+# epochs and after training: repeated wide/narrow chars, multi-space runs,
+# exact-length boundary, alphabet forward/reverse, all-spaces.
+TEST_STRINGS = [
+    "HELLO LEANN I LOVE YOU SO MUCH I HOPE YOU HAVE A GREAT DAY",
+    "TWO WORLDS ONE FAMILY TRUST YOUR HEART LET FATE DECIDE TO GUIDE THESE LIVES WE SEE",
+    "A PARADISE UNTOUCHED BY MAN WITHIN THIS WORLD BLESSED WITH LOVE A SIMPLE LIFE THEY LIVE IN PEACE",
+    "SOFTLY TREAD THE SAND BELOW YOUR FEET NOW TWO WORLDS ONE FAMILY TRUST YOUR HEART LET FATE",
+    "BENEATH THE SHELTER OF THE TREES ONLY LOVE CAN ENTER HERE A SIMPLE LIFE THEY LIVE IN PEACE",
+    "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG",
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    "WWWWWWWWWWWWWWWWWWWW",  # width test (repeating wide character)
+    "IIIIIIIIIIIIIIIIIIII",  # width test (repeating narrow character)
+    "ALTERNATING CASE TEST   SPACES",  # spacing test
+    "CLAUDE IS RENDERING FONTS",
+    "ZYXWVUTSRQPONMLKJIHGFEDCBA",  # reverse alphabet
+    "AEIOU BCDFGHJKLMNPQRSTVWXYZ",  # vowels and consonants grouped
+    "EXACTLY TWENTY CHARS",  # boundary test
+    "                    ",
+]
+
+
+def default_output_dir() -> str:
+    return "train_output_" + datetime.datetime.now().strftime("%m_%d_%H_%M_%S")
+
+
+def _build_dataset(tcfg: TrainConfig, font: str):
+    from .fontgen import bake_atlas
+    from .fontgen.dataset import build_device_dataset
+
+    atlas = bake_atlas(font)
+    print("Creating sheet dataset...")
+    ds = build_device_dataset(atlas, tcfg.num_samples)
+    return atlas, ds
+
+
+def run_training(
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+    output_dir: str,
+    font: str = FIRACODE_PATH,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+):
+    from .train import train
+
+    _, ds = _build_dataset(tcfg, font)
+    print(
+        "Training attention-based sheet renderer with reduced embedding "
+        "dimensions (32) and learned positional encoding..."
+    )
+    print(f"Using batch size {tcfg.batch_size}")
+    result = train(
+        ds,
+        mcfg,
+        tcfg,
+        output_dir=output_dir,
+        eval_strings=TEST_STRINGS,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )
+    return result
+
+
+def cmd_fontgen(args) -> int:
+    """Export the dataset: file-contract parity with generate_font.ts."""
+    import shutil
+
+    import jax.numpy as jnp
+
+    from .fontgen import bake_atlas, make_synth_ops, synthesize_sheets, write_bmp
+    from .fontgen.dataset import build_layouts
+    from .fontgen.textgen import generate_corpus
+
+    spec = SheetSpec()
+    atlas = bake_atlas(args.font, spec)
+    out = args.out
+    if os.path.exists(out):
+        print(f"Removing existing directory {out}...")
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    print(f"Generating text samples in {out}/...")
+    texts = generate_corpus(args.num_samples)
+    with open(os.path.join(out, "data.txt"), "w") as f:
+        f.write("\n".join(texts))
+    print(f"Saved all text data to {out}/data.txt")
+
+    codes, grids = build_layouts(atlas, args.num_samples)
+    ops = make_synth_ops(atlas, jnp.float32)
+    print("Rendering bitmaps...")
+    chunk = 2048
+    for start in range(0, args.num_samples, chunk):
+        part = grids[start : start + chunk]
+        pad = chunk - len(part)
+        if pad:
+            part = np.concatenate([part, np.zeros((pad,) + part.shape[1:], part.dtype)])
+        sheets = np.asarray(synthesize_sheets(ops, jnp.asarray(part)))
+        for i in range(min(chunk, args.num_samples - start)):
+            write_bmp(os.path.join(out, f"{start + i + 1}.bmp"), sheets[i])
+    metadata = (
+        "AI Font Renderer Dataset - Fira Code\n"
+        "==============================\n\n"
+        f"Font: {os.path.basename(args.font)}\n"
+        f"Font size: {int(spec.font_size)}\n"
+        f"Sheet dimensions: {spec.width}x{spec.height}\n"
+        f"Padding: {int(spec.padding)}px\n\n"
+        "Format: Images are numbered sequentially (1.bmp, 2.bmp, etc.)\n"
+        "Text labels are stored line by line in data.txt "
+        "(line 1 corresponds to 1.bmp)\n"
+    )
+    with open(os.path.join(out, "dataset_metadata.txt"), "w") as f:
+        f.write(metadata)
+    print(f"Dataset generation complete. Check the {out}/ directory.")
+    return 0
+
+
+def cmd_render(args) -> int:
+    from .render import render_strings
+    from .utils.checkpoint import load_params
+
+    params = load_params(args.weights)
+    render_strings(params, args.strings or TEST_STRINGS, args.out, ModelConfig())
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+
+    # The reference's bare contract first: no args, or --train (+ our
+    # optional overrides). Subcommands are dispatched by their first token.
+    if argv and argv[0] in ("fontgen", "render"):
+        parser = argparse.ArgumentParser(prog="afr")
+        sub = parser.add_subparsers(dest="cmd", required=True)
+        p_gen = sub.add_parser("fontgen", help="export dataset BMPs + data.txt")
+        p_gen.add_argument("--num-samples", type=int, default=150000)
+        p_gen.add_argument("--out", default="train_input")
+        p_gen.add_argument("--font", default=FIRACODE_PATH)
+        p_ren = sub.add_parser("render", help="render strings with saved weights")
+        p_ren.add_argument("strings", nargs="*")
+        p_ren.add_argument("--weights", default="font_renderer.npz")
+        p_ren.add_argument("--out", default=default_output_dir())
+        args = parser.parse_args(argv)
+        return {"fontgen": cmd_fontgen, "render": cmd_render}[args.cmd](args)
+
+    parser = argparse.ArgumentParser(prog="afr", add_help=True)
+    parser.add_argument("--train", action="store_true")
+    parser.add_argument("--samples", type=int, default=None)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--batch-size", type=int, default=None)
+    parser.add_argument("--output", default=None)
+    parser.add_argument("--font", default=FIRACODE_PATH)
+    parser.add_argument("--weights", default="font_renderer.npz")
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--resume", action="store_true")
+    try:
+        args = parser.parse_args(argv)
+    except SystemExit:
+        # argparse already printed its message; mirror the reference's
+        # "unknown option -> usage + exit 1" behavior (model.py:440-443).
+        print("Available options: --train")
+        return 1
+
+    from .render import render_strings
+    from .utils.checkpoint import load_params, save_params
+
+    mcfg = ModelConfig()
+    tcfg = TrainConfig()
+    if args.samples:
+        tcfg = replace(tcfg, num_samples=args.samples)
+    if args.epochs:
+        tcfg = replace(tcfg, num_epochs=args.epochs)
+    if args.batch_size:
+        tcfg = replace(tcfg, batch_size=args.batch_size)
+    output_dir = args.output or default_output_dir()
+    os.makedirs(output_dir, exist_ok=True)
+
+    if args.train:
+        result = run_training(
+            mcfg, tcfg, output_dir, args.font, args.checkpoint_dir, args.resume
+        )
+        save_params(result.params, args.weights)
+        render_strings(result.params, TEST_STRINGS, output_dir, mcfg)
+    else:
+        if os.path.exists(args.weights):
+            params = load_params(args.weights)
+        else:
+            print("No saved model found. Training a new model...")
+            result = run_training(
+                mcfg, tcfg, output_dir, args.font, args.checkpoint_dir, args.resume
+            )
+            params = result.params
+            save_params(params, args.weights)
+        render_strings(params, TEST_STRINGS, output_dir, mcfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,111 @@
+"""Headline benchmark: batched atlas-render glyphs/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+The reference's inference path is structurally one sheet per device call in a
+Python loop (helpers.py:46-74); the driver target (BASELINE.json) is >=10k
+glyphs/sec batched atlas inference, which this script uses as the baseline
+denominator. We render max-length (100-glyph) sheets in fixed 1024-sheet
+device batches and count glyphs/sec with everything blocked to completion.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ai_font_renderer_tpu.config import ModelConfig, TrainConfig
+from ai_font_renderer_tpu.models import font_renderer
+
+BASELINE_GLYPHS_PER_SEC = 10_000.0  # driver target (BASELINE.md)
+
+
+def main() -> None:
+    mcfg = ModelConfig()
+    # Trained weights if present, random otherwise — throughput is
+    # weight-independent.
+    import os
+
+    if os.path.exists("font_renderer.npz"):
+        from ai_font_renderer_tpu.utils.checkpoint import load_params
+
+        params = load_params("font_renderer.npz")
+    else:
+        params = font_renderer.init(jax.random.PRNGKey(0), mcfg)
+
+    batch = 1024
+    glyphs_per_sheet = mcfg.max_length  # 100-char sheets
+    key = jax.random.PRNGKey(1)
+    codes = jax.random.randint(key, (batch, mcfg.max_length), 65, 91, jnp.int32)
+
+    # Timing uses a data-dependent chain: each forward's output perturbs the
+    # next input, and the window ends with a scalar fetch. This defeats any
+    # async/deferred execution in the runtime — the wall time provably
+    # contains every forward pass.
+    @jax.jit
+    def fwd_chain(p, c):
+        out = font_renderer.apply(p, c, mcfg, train=False)
+        delta = (out[:, :1, : mcfg.max_length] * 7).astype(jnp.int32)
+        nxt = (c + delta.reshape(c.shape)) % 26 + 65
+        return out, nxt
+
+    out, c = fwd_chain(params, codes)
+    jax.block_until_ready((out, c))
+
+    iters = 50
+    best_dt = float("inf")
+    for _ in range(3):  # best of 3 measured windows
+        t0 = time.perf_counter()
+        cc = codes
+        for _ in range(iters):
+            out, cc = fwd_chain(params, cc)
+        float(out.mean())  # force the whole chain
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
+
+    sheets_per_sec = batch * iters / dt
+    glyphs_per_sec = sheets_per_sec * glyphs_per_sheet
+
+    # Secondary: fused train-step throughput at the flagship batch size.
+    from ai_font_renderer_tpu.train import init_state, train_step
+
+    tcfg = TrainConfig()
+    state = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    tb = tcfg.batch_size
+    tcodes = jax.random.randint(key, (tb, mcfg.max_length), 65, 91, jnp.int32)
+    ttargets = jax.random.uniform(key, (tb, mcfg.sheet_height, mcfg.sheet_width))
+    lr = jnp.float32(1e-3)
+    state, _ = train_step(state, tcodes, ttargets, lr, key, mcfg, tcfg)
+    jax.block_until_ready(state.params)
+    steps = 10
+    train_dt = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, loss = train_step(
+                state, tcodes, ttargets, lr, jax.random.fold_in(key, i), mcfg, tcfg
+            )
+        float(loss)  # scalar fetch forces the chained steps
+        train_dt = min(train_dt, time.perf_counter() - t0)
+
+    print(
+        json.dumps(
+            {
+                "metric": "atlas_render_glyphs_per_sec",
+                "value": round(glyphs_per_sec, 1),
+                "unit": "glyphs/sec",
+                "vs_baseline": round(glyphs_per_sec / BASELINE_GLYPHS_PER_SEC, 2),
+                "sheets_per_sec": round(sheets_per_sec, 1),
+                "train_steps_per_sec": round(steps / train_dt, 2),
+                "train_samples_per_sec": round(steps * tb / train_dt, 1),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
