@@ -40,6 +40,8 @@ class AdvanceTable:
         return self._index.get(ch, 0)
 
     def measure(self, text: str) -> float:
+        if self.is_monospace:  # O(1): every char advances the same
+            return len(text) * float(self.advances_px[0])
         return float(sum(self.advances_px[self.char_index(c)] for c in text))
 
 

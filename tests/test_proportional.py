@@ -1,0 +1,80 @@
+"""Proportional-font (Montserrat) layout + synthesis tests."""
+
+import numpy as np
+import pytest
+
+from ai_font_renderer_tpu.config import MONTSERRAT_PATH, FIRACODE_PATH, SheetSpec
+from ai_font_renderer_tpu.fontgen.proportional import (
+    bake_prop_atlas,
+    encode_prop_grids,
+    layout_prop_grid,
+    synthesize_prop_host,
+    synthesize_prop_sheets,
+)
+
+
+@pytest.fixture(scope="module")
+def atlas():
+    # Small sheet keeps the variant table light for CPU tests.
+    return bake_prop_atlas(MONTSERRAT_PATH, SheetSpec(width=120, height=40, max_chars=40))
+
+
+def test_bake_geometry(atlas):
+    assert atlas.stride >= 1
+    assert atlas.n_slots * atlas.stride >= atlas.spec.width
+    assert atlas.table.shape[0] > 1
+    assert not atlas.inked[0]  # space
+    assert atlas.table[0].sum() == 0  # variant 0 is blank
+
+
+def test_proportional_advances_differ(atlas):
+    adv = atlas.advance_table()
+    assert adv.advances_px[adv.char_index("W")] > adv.advances_px[adv.char_index("I")]
+    assert not adv.is_monospace
+
+
+def test_layout_places_every_inked_char(atlas):
+    grid = layout_prop_grid("WIN", atlas)
+    assert (grid != 0).sum() == 3
+    # Distinct glyphs -> distinct variants.
+    assert len({int(v) for v in grid[grid != 0]}) == 3
+
+
+def test_no_slot_collisions_narrow_chars(atlas):
+    # Repeated narrowest glyphs must each get their own coarse slot.
+    grid = layout_prop_grid("IIIIIIIIII", atlas)
+    assert (grid != 0).sum() == 10
+
+
+def test_sheets_render_ink(atlas):
+    grids = encode_prop_grids(["WAVE TO ME", "III WWW"], atlas)
+    sheets = synthesize_prop_host(atlas, grids)
+    assert sheets.shape == (2, 40, 120)
+    assert (sheets < 0.5).any(axis=(1, 2)).all()
+    assert sheets.max() == 1.0
+
+
+def test_device_matches_host(atlas):
+    import jax.numpy as jnp
+
+    grids = encode_prop_grids(["MONTSERRAT", "QUICK FOX"], atlas)
+    host = synthesize_prop_host(atlas, grids)
+    dev = np.asarray(synthesize_prop_sheets(atlas, grids, dtype=jnp.float32))
+    np.testing.assert_array_equal(np.round(dev * 255), np.round(host * 255))
+
+
+def test_width_scales_with_text(atlas):
+    # 'W' sheet should use more horizontal ink span than 'I' sheet.
+    g = encode_prop_grids(["WWW", "III"], atlas)
+    s = synthesize_prop_host(atlas, g)
+    ink_w = [(s[i] < 0.9).any(axis=0).sum() for i in range(2)]
+    assert ink_w[0] > ink_w[1] * 1.5
+
+
+def test_monospace_font_also_works(tmp_path):
+    # The proportional path must subsume monospace fonts (G = advance floor).
+    atlas = bake_prop_atlas(FIRACODE_PATH, SheetSpec(width=120, height=40, max_chars=40))
+    grid = layout_prop_grid("ABC", atlas)
+    assert (grid != 0).sum() == 3
+    sheets = synthesize_prop_host(atlas, grid[None])
+    assert (sheets[0] < 0.5).any()
