@@ -66,6 +66,10 @@ class ModelConfig:
     # Run the dominant output GEMM in bf16 (f32 accumulation). The reference
     # found fp16 quality-neutral (model.py:31); bf16 is the MXU-native mode.
     bf16_matmul: bool = True
+    # Use the Pallas fused GEMM+bias+clamp kernel (ops/fused_output.py) for
+    # the output projection (implies bf16). Falls back to XLA off-TPU or on
+    # non-128-aligned shapes.
+    use_pallas_output: bool = False
 
 
 @dataclass(frozen=True)

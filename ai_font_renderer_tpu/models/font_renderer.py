@@ -141,6 +141,11 @@ def apply(
 
     # The dominant GEMM: [B, 6400] @ [6400, 19200]. bf16 inputs, f32
     # accumulation — the MXU's native mode.
+    if cfg.use_pallas_output:
+        from ..ops.fused_output import fused_output
+
+        sheet = fused_output(flat, params["out_w"], params["out_b"])
+        return sheet.reshape(B, cfg.sheet_height, cfg.sheet_width)
     dt = jnp.bfloat16 if cfg.bf16_matmul else jnp.float32
     sheet = (
         jnp.dot(
