@@ -1,0 +1,115 @@
+"""Training drivers for the implicit glyph families (SIREN/multifont/SDF).
+
+These models are small (hundreds of KB) and their datasets are baked glyph
+tensors, so the entire optimization — every step — runs as ONE device call:
+full-batch Adam with cosine decay inside a `lax.scan`. No host loop at all.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import PRINTABLE_ASCII
+from ..fontgen.glyphs import rasterize_charset, sdf_charset
+from ..models import multifont as mf
+from ..models import siren
+
+
+def _scan_train(loss_fn, params, steps: int, lr: float, targets_tuple):
+    opt = optax.adam(
+        learning_rate=optax.cosine_decay_schedule(lr, steps, alpha=0.01)
+    )
+    opt_state = opt.init(params)
+
+    def step(carry, _):
+        p, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p, *targets_tuple)
+        updates, s = opt.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    (params, _), losses = jax.lax.scan(step, (params, opt_state), None, length=steps)
+    return params, losses
+
+
+def train_siren(
+    font_path: str,
+    cfg: siren.SirenConfig | None = None,
+    charset: str = PRINTABLE_ASCII,
+    steps: int = 2000,
+    lr: float = 2e-4,
+    seed: int = 42,
+):
+    """Fit the implicit glyph MLP to a rasterized charset.
+
+    Returns (params, losses[steps], targets) — targets kept for evals.
+    """
+    cfg = cfg or siren.SirenConfig(n_chars=len(charset))
+    if cfg.mode == "sdf":
+        t = sdf_charset(font_path, charset, cfg.cell)
+        t = t / (cfg.cell / 4.0)  # normalize distances to ~[-1, 1]
+    else:
+        t = rasterize_charset(font_path, charset, cfg.cell)
+    targets = jnp.asarray(t.reshape(len(charset), -1))
+    coords = siren.grid_coords(cfg.cell)
+    coords_b = jnp.broadcast_to(
+        coords[None], (len(charset), coords.shape[0], 2)
+    )
+    char_ids = jnp.arange(len(charset))
+    params = siren.init(jax.random.PRNGKey(seed), cfg)
+
+    fit = jax.jit(
+        lambda p: _scan_train(
+            partial(siren.loss_fn, cfg=cfg),
+            p,
+            steps,
+            lr,
+            (char_ids, coords_b, targets),
+        )
+    )
+    params, losses = fit(params)
+    return params, losses, t
+
+
+def train_multifont(
+    font_paths: list[str],
+    cfg: mf.MultiFontConfig | None = None,
+    charset: str = PRINTABLE_ASCII,
+    steps: int = 3000,
+    lr: float = 2e-4,
+    seed: int = 42,
+):
+    """Fit the font-conditioned implicit model on several fonts at once."""
+    cfg = cfg or mf.MultiFontConfig(
+        n_fonts=len(font_paths), n_chars=len(charset)
+    )
+    if cfg.mode == "sdf":
+        ts = [sdf_charset(p, charset, cfg.cell) / (cfg.cell / 4.0) for p in font_paths]
+    else:
+        ts = [rasterize_charset(p, charset, cfg.cell) for p in font_paths]
+    import numpy as np
+
+    t = np.stack(ts)  # [F, C, cell, cell]
+    F, C = t.shape[:2]
+    targets = jnp.asarray(t.reshape(F * C, -1))
+    coords = siren.grid_coords(cfg.cell)
+    coords_b = jnp.broadcast_to(coords[None], (F * C, coords.shape[0], 2))
+    font_ids = jnp.repeat(jnp.arange(F), C)
+    char_ids = jnp.tile(jnp.arange(C), F)
+    params = mf.init(jax.random.PRNGKey(seed), cfg)
+
+    fit = jax.jit(
+        lambda p: _scan_train(
+            partial(mf.loss_fn, cfg=cfg),
+            p,
+            steps,
+            lr,
+            (font_ids, char_ids, coords_b, targets),
+        )
+    )
+    params, losses = fit(params)
+    return params, losses, t
