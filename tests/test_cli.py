@@ -1,0 +1,73 @@
+"""CLI contract tests (model.py:425-454 behaviors)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ai_font_renderer_tpu import cli
+from ai_font_renderer_tpu.config import ModelConfig
+
+
+def test_unknown_option_exits_1(capsys):
+    rc = cli.main(["--frobnicate"])
+    assert rc == 1
+    out = capsys.readouterr()
+    assert "Available options: --train" in out.out
+
+
+def test_test_strings_match_reference():
+    # The curated eval set (model.py:111-127): 15 strings with the
+    # documented adversarial cases.
+    assert len(cli.TEST_STRINGS) == 15
+    assert "WWWWWWWWWWWWWWWWWWWW" in cli.TEST_STRINGS
+    assert "IIIIIIIIIIIIIIIIIIII" in cli.TEST_STRINGS
+    assert "EXACTLY TWENTY CHARS" in cli.TEST_STRINGS
+    assert " " * 20 in cli.TEST_STRINGS
+    assert all(len(s) <= 100 for s in cli.TEST_STRINGS)
+
+
+def test_fontgen_exports_dataset_contract(tmp_path, monkeypatch):
+    out = tmp_path / "train_input"
+    rc = cli.main(
+        ["fontgen", "--num-samples", "4", "--out", str(out)]
+    )
+    assert rc == 0
+    # File contract of generate_font.ts:216-239.
+    data = (out / "data.txt").read_text().splitlines()
+    assert len(data) == 4
+    assert set("".join(data)) <= set("ABCDEFGHIJKLMNOPQRSTUVWXYZ ")
+    for i in range(1, 5):
+        assert (out / f"{i}.bmp").exists()
+    meta = (out / "dataset_metadata.txt").read_text()
+    assert "240x80" in meta and "line 1 corresponds to 1.bmp" in meta
+    # BMPs decode and correspond to their strings (ink present for text).
+    from ai_font_renderer_tpu.fontgen.bmp import read_bmp
+
+    img = read_bmp(str(out / "1.bmp"))
+    assert img.shape == (80, 240)
+    assert (img < 0.5).any()
+
+
+def test_render_subcommand_with_saved_weights(tmp_path):
+    import jax
+
+    from ai_font_renderer_tpu.models import font_renderer
+    from ai_font_renderer_tpu.utils.checkpoint import save_params
+
+    weights = str(tmp_path / "w.npz")
+    params = font_renderer.init(jax.random.PRNGKey(0), ModelConfig())
+    save_params(params, weights)
+    out = str(tmp_path / "renders")
+    rc = cli.main(["render", "HELLO", "WORLD", "--weights", weights, "--out", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "string_0.bmp"))
+    assert os.path.exists(os.path.join(out, "string_1.bmp"))
+
+
+def test_default_output_dir_format():
+    d = cli.default_output_dir()
+    assert d.startswith("train_output_")
+    # timestamped %m_%d_%H_%M_%S → 5 underscore-separated numeric fields
+    parts = d[len("train_output_"):].split("_")
+    assert len(parts) == 5 and all(p.isdigit() for p in parts)
