@@ -107,10 +107,18 @@ def build_device_dataset(
     base_seed: int = 42,
     synth_batch: int = 4096,
     cache_dir: str | None = None,
+    dtype=None,
 ) -> DeviceDataset:
-    """Corpus -> device tensors, synthesizing all targets on-device once."""
+    """Corpus -> device tensors, synthesizing all targets on-device once.
+
+    Synthesis runs in f32/HIGHEST by default: the dataset definition is
+    bit-exact against the numpy oracle and the BMP export contract on every
+    backend (it runs once per corpus, so the 2x bf16 speedup is irrelevant).
+    """
+    import jax.numpy as _jnp
+
     codes, grids = build_layouts(atlas, num_samples, base_seed, cache_dir)
-    ops = make_synth_ops(atlas)
+    ops = make_synth_ops(atlas, dtype or _jnp.float32)
 
     @jax.jit
     def synth_u8(g):
@@ -129,6 +137,57 @@ def build_device_dataset(
         chunks.append(out)
     targets = jnp.concatenate(chunks, axis=0)
     return DeviceDataset(codes=jnp.asarray(codes), targets_u8=targets)
+
+
+def load_string_dataset(
+    data_dir: str = "train_input",
+    num_samples: int = 50000,
+    sheet_height: int = 80,
+    sheet_width: int = 240,
+    max_chars: int = 100,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Load a disk dataset written in the reference's file contract.
+
+    Equivalent of helpers.py:125-181: reads ``data.txt`` (line i ->
+    ``(i+1).bmp``), errors the same way on short files, and returns
+    (codes int32 [N, max_chars], targets float32 [N, H, W]). Exists for
+    interop with datasets produced by the reference's generator or our
+    ``fontgen`` export; on-device synthesis (build_device_dataset) is the
+    native path and never touches disk.
+    """
+    from .bmp import read_bmp
+
+    strings_path = os.path.join(data_dir, "data.txt")
+    with open(strings_path) as f:
+        strings = f.read().splitlines()
+    if len(strings) < num_samples:
+        raise ValueError(
+            f"Not enough strings in {strings_path}. "
+            f"Expected {num_samples}, got {len(strings)}"
+        )
+    targets = np.zeros((num_samples, sheet_height, sheet_width), np.float32)
+    for i in range(num_samples):
+        image_path = os.path.join(data_dir, f"{i + 1}.bmp")
+        if not os.path.exists(image_path):
+            raise FileNotFoundError(f"Image file not found: {image_path}")
+        targets[i] = read_bmp(image_path)
+    codes = encode_codes(strings[:num_samples], max_chars)
+    return codes, targets
+
+
+def device_dataset_from_disk(
+    data_dir: str,
+    num_samples: int,
+    sheet_height: int = 80,
+    sheet_width: int = 240,
+    max_chars: int = 100,
+) -> DeviceDataset:
+    """Disk dataset -> device-resident uint8 tensors (training-ready)."""
+    codes, targets = load_string_dataset(
+        data_dir, num_samples, sheet_height, sheet_width, max_chars
+    )
+    u8 = np.round(targets * 255.0).astype(np.uint8)
+    return DeviceDataset(codes=jnp.asarray(codes), targets_u8=jnp.asarray(u8))
 
 
 def split_sizes(n: int, validation_split: float) -> tuple[int, int]:

@@ -1,0 +1,72 @@
+"""Dataset tests: device corpus, disk round-trip via the file contract."""
+
+import numpy as np
+import pytest
+
+from ai_font_renderer_tpu import cli
+from ai_font_renderer_tpu.config import FIRACODE_PATH
+from ai_font_renderer_tpu.fontgen import bake_atlas
+from ai_font_renderer_tpu.fontgen.dataset import (
+    build_device_dataset,
+    device_dataset_from_disk,
+    load_string_dataset,
+    split_permutation,
+    split_sizes,
+)
+
+
+def test_split_sizes_match_reference():
+    # model.py:232-234: val = int(0.2 * n), train = n - val.
+    assert split_sizes(150000, 0.2) == (120000, 30000)
+    assert split_sizes(96, 0.2) == (77, 19)
+
+
+def test_split_permutation_deterministic():
+    a = split_permutation(100, 42)
+    b = split_permutation(100, 42)
+    np.testing.assert_array_equal(a, b)
+    assert sorted(a) == list(range(100))
+
+
+def test_device_dataset_contents():
+    atlas = bake_atlas(FIRACODE_PATH)
+    ds = build_device_dataset(atlas, num_samples=40, synth_batch=16)
+    assert ds.num_samples == 40
+    assert ds.codes.shape == (40, 100)
+    assert ds.targets_u8.shape == (40, 80, 240)
+    assert ds.targets_u8.dtype == np.uint8
+    codes, targets = ds.gather_batch(np.arange(8, dtype=np.int32))
+    assert float(targets.max()) <= 1.0
+    # Ink present (text sheets are not blank).
+    assert float(targets.min()) < 0.5
+
+
+def test_disk_roundtrip_matches_device(tmp_path):
+    """fontgen export -> disk loader must reproduce the device dataset."""
+    out = tmp_path / "train_input"
+    rc = cli.main(["fontgen", "--num-samples", "6", "--out", str(out)])
+    assert rc == 0
+    codes, targets = load_string_dataset(str(out), 6)
+    atlas = bake_atlas(FIRACODE_PATH)
+    ds = build_device_dataset(atlas, num_samples=6, synth_batch=8)
+    np.testing.assert_array_equal(codes, np.asarray(ds.codes))
+    disk_u8 = np.round(targets * 255).astype(np.uint8)
+    np.testing.assert_array_equal(disk_u8, np.asarray(ds.targets_u8))
+
+
+def test_loader_error_contracts(tmp_path):
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "data.txt").write_text("ONE\nTWO\n")
+    with pytest.raises(ValueError, match="Not enough strings"):
+        load_string_dataset(str(d), 5)
+    with pytest.raises(FileNotFoundError, match="Image file not found"):
+        load_string_dataset(str(d), 2)
+
+
+def test_device_dataset_from_disk(tmp_path):
+    out = tmp_path / "train_input"
+    cli.main(["fontgen", "--num-samples", "3", "--out", str(out)])
+    ds = device_dataset_from_disk(str(out), 3)
+    assert ds.num_samples == 3
+    assert ds.targets_u8.shape == (3, 80, 240)
