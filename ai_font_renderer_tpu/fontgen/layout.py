@@ -25,24 +25,35 @@ from ..config import SheetSpec
 
 
 class AdvanceTable:
-    """Per-character advance widths in pixels for a charset."""
+    """Per-character advance widths (px) for a charset, plus pair kerning."""
 
-    def __init__(self, charset: str, advances_px: np.ndarray):
+    def __init__(self, charset: str, advances_px: np.ndarray, kerning=None):
         self.charset = charset
         self.advances_px = np.asarray(advances_px, np.float64)
         self._index = {c: i for i, c in enumerate(charset)}
+        self.kerning = kerning  # fontgen.kerning.KerningTable or None
         self.is_monospace = bool(
-            len(advances_px) > 0 and np.all(advances_px == advances_px[0])
+            len(advances_px) > 0
+            and np.all(advances_px == advances_px[0])
+            and not (kerning and len(kerning))
         )
 
     def char_index(self, ch: str) -> int:
         """Charset index for ``ch``; unknown chars map to index 0 (space)."""
         return self._index.get(ch, 0)
 
+    def kern(self, left: str, right: str) -> float:
+        return self.kerning.get(left, right) if self.kerning else 0.0
+
     def measure(self, text: str) -> float:
+        """Shaped width: advance sum + pair-kern adjustments (like
+        measureText through HarfBuzz)."""
         if self.is_monospace:  # O(1): every char advances the same
             return len(text) * float(self.advances_px[0])
-        return float(sum(self.advances_px[self.char_index(c)] for c in text))
+        w = float(sum(self.advances_px[self.char_index(c)] for c in text))
+        if self.kerning:
+            w += sum(self.kern(a, b) for a, b in zip(text, text[1:]))
+        return w
 
 
 def wrap_text(text: str, advances: AdvanceTable, max_width: float) -> list[str]:

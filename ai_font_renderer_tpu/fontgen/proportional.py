@@ -47,6 +47,7 @@ class PropAtlas:
     advances_px: np.ndarray  # [n_chars]
     inked: np.ndarray  # bool [n_chars] — has outline ink
     ink_index: np.ndarray  # int [n_chars] — dense index among inked chars
+    kerning: object  # KerningTable or None
     n_lines: int
     n_slots: int  # coarse slots of stride G
     stride: int  # G
@@ -58,7 +59,7 @@ class PropAtlas:
     y0: np.ndarray  # [n_lines] cell top row per line
 
     def advance_table(self) -> AdvanceTable:
-        return AdvanceTable(self.charset, self.advances_px)
+        return AdvanceTable(self.charset, self.advances_px, self.kerning)
 
     def variant(self, char_idx: int, line: int, r: int, q: int) -> int:
         """Flat variant id for (charset index, line, residual, phase)."""
@@ -73,9 +74,15 @@ def bake_prop_atlas(
     spec: SheetSpec | None = None,
     charset: str = PRINTABLE_ASCII,
     q_subpixel: int = 8,
+    use_kerning: bool = True,
 ) -> PropAtlas:
-    """Bake the proportional-font variant atlas."""
+    """Bake the proportional-font variant atlas (GPOS kerning included)."""
+    from .kerning import KerningTable
+
     spec = spec or SheetSpec()
+    kerning = (
+        KerningTable(font_path, charset, spec.font_size) if use_kerning else None
+    )
     font = TrueTypeFont.load(font_path)
     scale = spec.font_size / font.units_per_em
     gids = [font.glyph_id(ord(c)) for c in charset]
@@ -94,7 +101,11 @@ def bake_prop_atlas(
     ascent_rows = int(np.ceil(ys.max()))
     descent_rows = int(np.ceil(max(-ys.min(), 0.0))) + 1
     bearing_x = int(np.ceil(max(-xs.min(), 0.0)))
-    G = max(1, int(np.floor(advances_px.min())))
+    # Coarse stride must not exceed the smallest possible pen step so each
+    # coarse slot holds at most one glyph — including kerned pairs, which
+    # shrink the step.
+    min_kern = min(kerning.pairs_px.values(), default=0.0) if kerning else 0.0
+    G = max(1, int(np.floor(advances_px.min() + min(min_kern, 0.0))))
     cell_h = ascent_rows + descent_rows
     cell_w = bearing_x + int(np.ceil(xs.max())) + 1 + G
 
@@ -153,6 +164,7 @@ def bake_prop_atlas(
         advances_px=advances_px,
         inked=inked,
         ink_index=ink_index,
+        kerning=kerning,
         n_lines=n_lines,
         n_slots=n_slots,
         stride=G,
@@ -176,9 +188,13 @@ def layout_prop_grid(text: str, atlas: PropAtlas) -> np.ndarray:
     Q, G = atlas.q_subpixel, atlas.stride
     for l, line in enumerate(lines[: atlas.n_lines]):
         pen = float(spec.padding)
+        prev = None
         for ch in line:
             ci = adv.char_index(ch)
-            pen_int = int(np.floor(pen))  # >= 0: pen starts at padding >= 0
+            if prev is not None:
+                pen += adv.kern(prev, ch)  # GPOS pair adjustment
+            prev = ch
+            pen_int = int(np.floor(max(pen, 0.0)))  # pen >= 0 after clamping
             if pen_int - atlas.bearing_x >= spec.width:
                 break  # rest of the line is clipped off the sheet
             if atlas.inked[ci]:

@@ -78,3 +78,32 @@ def test_monospace_font_also_works(tmp_path):
     assert (grid != 0).sum() == 3
     sheets = synthesize_prop_host(atlas, grid[None])
     assert (sheets[0] < 0.5).any()
+
+
+class TestKerning:
+    def test_kerned_pairs_shift_layout(self):
+        from ai_font_renderer_tpu.fontgen.proportional import bake_prop_atlas
+        spec = SheetSpec(width=120, height=40, max_chars=40)
+        a_kern = bake_prop_atlas(MONTSERRAT_PATH, spec, use_kerning=True)
+        a_plain = bake_prop_atlas(MONTSERRAT_PATH, spec, use_kerning=False)
+        # Kerned 'AV' measures narrower than the raw advance sum.
+        assert a_kern.advance_table().measure("AV") < a_plain.advance_table().measure("AV")
+        # Kerning pulls the rendered run leftward: narrower ink extent.
+        sk = synthesize_prop_host(a_kern, layout_prop_grid("AVAVAVAV", a_kern)[None])[0]
+        sp = synthesize_prop_host(a_plain, layout_prop_grid("AVAVAVAV", a_plain)[None])[0]
+        extent = lambda s: np.where((s < 0.9).any(axis=0))[0].max()
+        assert extent(sk) < extent(sp)
+
+    def test_monospace_has_no_kerning(self):
+        from ai_font_renderer_tpu.fontgen.kerning import KerningTable
+        kt = KerningTable(FIRACODE_PATH, "ABCDEFGHIJKLMNOPQRSTUVWXYZ ", 12.0)
+        assert len(kt) == 0
+
+    def test_kerning_values_sane(self):
+        from ai_font_renderer_tpu.fontgen.kerning import KerningTable
+        kt = KerningTable(MONTSERRAT_PATH, "ATVWYLaovy", 12.0)
+        assert len(kt) > 0
+        # All pair adjustments are small fractions of the em.
+        for v in kt.pairs_px.values():
+            assert abs(v) < 3.0
+        assert kt.get("A", "V") < 0.0  # classic negative pair
