@@ -184,6 +184,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--weights", default="font_renderer.npz")
     parser.add_argument("--checkpoint-dir", default=None)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument(
+        "--schedule", choices=["plateau", "cosine"], default=None,
+        help="plateau = reference parity; cosine = fast time-budget profile",
+    )
+    parser.add_argument("--peak-lr", type=float, default=None)
     try:
         args = parser.parse_args(argv)
     except SystemExit:
@@ -203,6 +208,10 @@ def main(argv: list[str] | None = None) -> int:
         tcfg = replace(tcfg, num_epochs=args.epochs)
     if args.batch_size:
         tcfg = replace(tcfg, batch_size=args.batch_size)
+    if args.schedule:
+        tcfg = replace(tcfg, schedule=args.schedule)
+    if args.peak_lr:
+        tcfg = replace(tcfg, peak_learning_rate=args.peak_lr)
     output_dir = args.output or default_output_dir()
     os.makedirs(output_dir, exist_ok=True)
 

@@ -89,6 +89,13 @@ class TrainConfig:
     min_learning_rate: float = 1e-6
     seed: int = 42
     num_samples: int = 150000
+    # LR schedule: "plateau" is the reference's ReduceLROnPlateau
+    # (model.py:276-278); "cosine" is the fast profile (linear warmup then
+    # cosine decay to min_learning_rate over num_epochs) for
+    # best-loss-in-a-time-budget runs. Early stopping applies to both.
+    schedule: str = "plateau"
+    warmup_epochs: int = 1
+    peak_learning_rate: float | None = None  # cosine peak; None -> learning_rate
     # How often to log + render eval strings (model.py:349 renders every 5).
     eval_every: int = 5
     # Mixed precision for the dominant GEMMs; params/optimizer stay f32.

@@ -20,6 +20,28 @@ from .raster import flatten_glyph
 from .ttf import TrueTypeFont
 
 
+def unicode_charset(font_path: str, limit: int | None = None) -> str:
+    """Every printable codepoint the font maps, as a string.
+
+    "Printable" excludes control/format/surrogate/private-use/unassigned
+    categories; the result drives the full-Unicode SDF atlas configs.
+    """
+    import unicodedata
+
+    font = TrueTypeFont.load(font_path)
+    out = []
+    for cp in sorted(font._cmap):
+        if cp < 0x20 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+            continue
+        ch = chr(cp)
+        if unicodedata.category(ch) in ("Cc", "Cf", "Cs", "Co", "Cn"):
+            continue
+        out.append(ch)
+        if limit and len(out) >= limit:
+            break
+    return "".join(out)
+
+
 def rasterize_charset(
     font_path: str,
     charset: str,

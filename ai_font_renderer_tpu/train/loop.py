@@ -27,7 +27,7 @@ from ..utils.checkpoint import CheckpointManager
 from ..utils.metrics import MetricsLogger, Stopwatch
 from . import step as train_step_mod
 from .manifests import write_config_manifest, write_results_manifest
-from .schedule import EarlyStopping, ReduceLROnPlateau
+from .schedule import CosineSchedule, EarlyStopping, ReduceLROnPlateau
 
 
 @dataclasses.dataclass
@@ -93,6 +93,16 @@ def train(
         patience=tcfg.scheduler_patience,
         min_lr=tcfg.min_learning_rate,
     )
+    cosine = (
+        CosineSchedule(
+            peak_lr=tcfg.peak_learning_rate or tcfg.learning_rate,
+            total_epochs=tcfg.num_epochs,
+            warmup_epochs=tcfg.warmup_epochs,
+            min_lr=tcfg.min_learning_rate,
+        )
+        if tcfg.schedule == "cosine"
+        else None
+    )
     early = EarlyStopping(patience=tcfg.early_stopping_patience)
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_epoch = 0
@@ -115,6 +125,8 @@ def train(
     watch = Stopwatch()
 
     for epoch in range(start_epoch, tcfg.num_epochs):
+        if cosine is not None:
+            lr = cosine.lr_at(epoch)
         epoch_perm = shuffle_rng.permutation(train_size)[
             : steps_per_epoch * batch_size
         ]
@@ -143,7 +155,8 @@ def train(
             )
         )
         train_loss = float(train_loss)
-        lr = scheduler.step(val_loss)
+        if cosine is None:
+            lr = scheduler.step(val_loss)
         # Snapshot best params with a real copy: the next epoch donates the
         # state's buffers, which would invalidate a mere reference.
         is_best = early.update(

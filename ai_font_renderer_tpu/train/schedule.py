@@ -56,6 +56,27 @@ class ReduceLROnPlateau:
 
 
 @dataclass
+class CosineSchedule:
+    """Linear warmup -> cosine decay; the fast (non-parity) profile."""
+
+    peak_lr: float
+    total_epochs: int
+    warmup_epochs: int = 1
+    min_lr: float = 1e-6
+
+    def lr_at(self, epoch: int) -> float:
+        import math
+
+        if self.warmup_epochs > 0 and epoch < self.warmup_epochs:
+            return self.peak_lr * (epoch + 1) / self.warmup_epochs
+        span = max(1, self.total_epochs - self.warmup_epochs)
+        t = min(1.0, (epoch - self.warmup_epochs) / span)
+        return self.min_lr + 0.5 * (self.peak_lr - self.min_lr) * (
+            1.0 + math.cos(math.pi * t)
+        )
+
+
+@dataclass
 class EarlyStopping:
     """Patience on strict val-loss improvement, keeping the best snapshot."""
 

@@ -171,3 +171,27 @@ def test_checkpoint_resume(tiny_setup, tmp_path):
     )
     assert r2.final_epoch == 4
     assert len(r2.history) == 2  # only epochs 2 and 3 ran
+
+
+class TestCosineSchedule:
+    def test_warmup_then_decay(self):
+        from ai_font_renderer_tpu.train.schedule import CosineSchedule
+
+        s = CosineSchedule(peak_lr=1e-3, total_epochs=10, warmup_epochs=2)
+        assert s.lr_at(0) == pytest.approx(5e-4)
+        assert s.lr_at(1) == pytest.approx(1e-3)
+        assert s.lr_at(2) == pytest.approx(1e-3)  # cos(0) = 1 -> peak
+        assert s.lr_at(9) < 1e-4
+        assert s.lr_at(100) == pytest.approx(1e-6, rel=1e-2)
+
+    def test_cosine_training_decays_lr(self, tiny_setup):
+        ds, mcfg, _ = tiny_setup
+        tcfg = TrainConfig(
+            batch_size=16, num_samples=96, num_epochs=4, eval_every=10,
+            checkpoint_every=0, schedule="cosine", peak_learning_rate=2e-3,
+            warmup_epochs=1,
+        )
+        r = train(ds, mcfg, tcfg, log=lambda *_: None)
+        lrs = [h["lr"] for h in r.history]
+        assert lrs[0] == pytest.approx(2e-3)
+        assert lrs[-1] < lrs[1]  # decaying after warmup
