@@ -57,12 +57,25 @@ def default_output_dir() -> str:
 
 
 def _build_dataset(tcfg: TrainConfig, font: str):
-    from .fontgen import bake_atlas
-    from .fontgen.dataset import build_device_dataset
+    """Build the device dataset, dispatching monospace vs proportional."""
+    from .fontgen.ttf import TrueTypeFont
+    from .config import PRINTABLE_ASCII
 
-    atlas = bake_atlas(font)
     print("Creating sheet dataset...")
-    ds = build_device_dataset(atlas, tcfg.num_samples)
+    f = TrueTypeFont.load(font)
+    advances = {f.advance(f.glyph_id(ord(c))) for c in PRINTABLE_ASCII}
+    if len(advances) == 1:
+        from .fontgen import bake_atlas
+        from .fontgen.dataset import build_device_dataset
+
+        atlas = bake_atlas(font)
+        ds = build_device_dataset(atlas, tcfg.num_samples)
+    else:
+        from .fontgen.proportional import bake_prop_atlas
+        from .fontgen.dataset import build_device_dataset_prop
+
+        atlas = bake_prop_atlas(font)
+        ds = build_device_dataset_prop(atlas, tcfg.num_samples)
     return atlas, ds
 
 

@@ -139,6 +139,45 @@ def build_device_dataset(
     return DeviceDataset(codes=jnp.asarray(codes), targets_u8=targets)
 
 
+def build_device_dataset_prop(
+    atlas,
+    num_samples: int,
+    base_seed: int = 42,
+    synth_batch: int = 1024,
+) -> DeviceDataset:
+    """Proportional-font corpus -> device tensors (e.g. Montserrat config).
+
+    Same LCG corpus strings, laid out with the font's real advances +
+    kerning on the coarse placement grid, synthesized on device by the
+    proportional einsum path (fontgen/proportional.py).
+    """
+    import jax.numpy as _jnp
+
+    from .proportional import encode_prop_grids, synthesize_prop_sheets
+    from .textgen import generate_corpus
+
+    texts = generate_corpus(num_samples, base_seed=base_seed)
+    codes = encode_codes(texts, atlas.spec.max_chars)
+    grids = encode_prop_grids(texts, atlas)
+
+    chunks = []
+    for start in range(0, num_samples, synth_batch):
+        part = grids[start : start + synth_batch]
+        pad = synth_batch - len(part)
+        if pad:
+            part = np.concatenate(
+                [part, np.zeros((pad,) + part.shape[1:], part.dtype)]
+            )
+            sheets = synthesize_prop_sheets(atlas, part, dtype=_jnp.float32)[
+                : num_samples - start
+            ]
+        else:
+            sheets = synthesize_prop_sheets(atlas, part, dtype=_jnp.float32)
+        chunks.append(jnp.round(sheets * 255.0).astype(jnp.uint8))
+    targets = jnp.concatenate(chunks, axis=0)
+    return DeviceDataset(codes=jnp.asarray(codes), targets_u8=targets)
+
+
 def load_string_dataset(
     data_dir: str = "train_input",
     num_samples: int = 50000,

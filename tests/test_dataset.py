@@ -70,3 +70,23 @@ def test_device_dataset_from_disk(tmp_path):
     ds = device_dataset_from_disk(str(out), 3)
     assert ds.num_samples == 3
     assert ds.targets_u8.shape == (3, 80, 240)
+
+
+def test_montserrat_device_dataset():
+    from ai_font_renderer_tpu.config import MONTSERRAT_PATH, SheetSpec
+    from ai_font_renderer_tpu.fontgen.dataset import build_device_dataset_prop
+    from ai_font_renderer_tpu.fontgen.proportional import bake_prop_atlas
+
+    atlas = bake_prop_atlas(MONTSERRAT_PATH, SheetSpec())
+    ds = build_device_dataset_prop(atlas, num_samples=12, synth_batch=8)
+    assert ds.num_samples == 12
+    assert ds.targets_u8.shape == (12, 80, 240)
+    codes, targets = ds.gather_batch(np.arange(4, dtype=np.int32))
+    # Same corpus strings as the monospace config (bit-exact LCG).
+    from ai_font_renderer_tpu.fontgen.textgen import generate_text
+
+    want = generate_text(42)
+    got = "".join(chr(c) for c in np.asarray(codes[0]) if c)
+    assert got == want[:100].rstrip("\x00")
+    # Sheets contain ink and differ from the FiraCode rendering.
+    assert float(targets.min()) < 0.5
