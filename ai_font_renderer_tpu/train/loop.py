@@ -63,9 +63,15 @@ def train(
     eval_strings: list[str] | None = None,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    mesh=None,
     log=print,
 ) -> TrainResult:
-    """Train the font renderer; returns best params + run stats."""
+    """Train the font renderer; returns best params + run stats.
+
+    ``mesh``: optional jax.sharding.Mesh with ('data','model') axes — the
+    corpus replicates, batches shard over 'data', and the output projection
+    (99.99% of params) shards over 'model'; GSPMD handles the collectives.
+    """
     n = dataset.num_samples
     batch_size = min(tcfg.batch_size, n)
     train_size, val_size = split_sizes(n, tcfg.validation_split)
@@ -79,6 +85,16 @@ def train(
     val_batch_idx = jnp.asarray(val_batch_idx)
     val_weights = jnp.asarray(val_weights)
 
+    if mesh is not None:
+        from ..parallel import replicate, shard_batch_idx
+
+        dataset = DeviceDataset(
+            codes=replicate(mesh, dataset.codes),
+            targets_u8=replicate(mesh, dataset.targets_u8),
+        )
+        val_batch_idx = shard_batch_idx(mesh, val_batch_idx)
+        val_weights = shard_batch_idx(mesh, val_weights)
+
     if output_dir:
         write_config_manifest(output_dir, mcfg, tcfg, batch_size, n)
     metrics = MetricsLogger(
@@ -87,6 +103,10 @@ def train(
 
     key = jax.random.PRNGKey(tcfg.seed)
     state = train_step_mod.init_state(key, mcfg, tcfg)
+    if mesh is not None:
+        from ..parallel import shard_state
+
+        state = shard_state(mesh, state)
     scheduler = ReduceLROnPlateau(
         lr=tcfg.learning_rate,
         factor=tcfg.scheduler_factor,
@@ -133,6 +153,10 @@ def train(
         batch_idx = jnp.asarray(
             train_idx[epoch_perm].reshape(steps_per_epoch, batch_size)
         )
+        if mesh is not None:
+            from ..parallel import shard_batch_idx
+
+            batch_idx = shard_batch_idx(mesh, batch_idx)
         epoch_key = jax.random.fold_in(key, epoch)
         state, train_loss = train_step_mod.train_epoch(
             state,

@@ -104,3 +104,20 @@ def test_sharded_epoch_runs(tiny):
     assert np.isfinite(float(loss))
     # Parameters remain sharded after the update (no silent gather).
     assert not state.params["out_w"].sharding.is_fully_replicated
+
+
+def test_full_train_loop_on_mesh(tiny):
+    from ai_font_renderer_tpu.train import train
+
+    ds, mcfg, _ = tiny
+    from ai_font_renderer_tpu.config import TrainConfig
+
+    tcfg = TrainConfig(
+        batch_size=16, num_samples=64, num_epochs=3, eval_every=10,
+        checkpoint_every=0,
+    )
+    mesh = make_mesh(data=4, model=2)
+    r = train(ds, mcfg, tcfg, mesh=mesh, log=lambda *_: None)
+    assert len(r.history) == 3
+    assert np.isfinite(r.best_val_loss)
+    assert r.history[-1]["train_loss"] < r.history[0]["train_loss"]
