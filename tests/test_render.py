@@ -24,7 +24,8 @@ def test_batched_equals_individual(params):
     batched = render_batch(params, strings, MCFG)
     for i, s in enumerate(strings):
         single = render_batch(params, [s], MCFG)[0]
-        np.testing.assert_array_equal(batched[i], single)
+        # Identical up to GEMM accumulation order (batch-shape dependent).
+        np.testing.assert_allclose(batched[i], single, atol=2e-5)
 
 
 def test_render_strings_writes_bmps(params, tmp_path, capsys):
