@@ -163,6 +163,12 @@ def cmd_render(args) -> int:
     from .render import render_strings
     from .utils.checkpoint import load_params
 
+    if not os.path.exists(args.weights):
+        print(
+            f"Error: weights file not found: {args.weights}\n"
+            "Train one first: python model.py --train"
+        )
+        return 1
     params = load_params(args.weights)
     render_strings(params, args.strings or TEST_STRINGS, args.out, ModelConfig())
     return 0
