@@ -12,8 +12,15 @@ the 6400x19200 projection, model.py:152,196-202). The fusion:
             is never materialized either.
 
 Tiling: grid (M/bm, N/bn, K/bk) with K innermost; the f32 accumulator lives
-in the revisited output block (standard Pallas accumulation pattern). Tile
-sizes keep double-buffered blocks well under VMEM.
+in a VMEM scratch block (standard Pallas accumulation pattern). Tile sizes
+keep double-buffered blocks well under VMEM.
+
+Status (v5e, measured with alternating A/B rounds and chained scalar-fetch
+timing): XLA's GEMM with its own fused bias+clamp epilogue runs the full
+train step in ~17 ms at batch 1024 vs ~25 ms with this kernel, so
+``ModelConfig.use_pallas_output`` stays False by default. The kernel is kept
+as a verified-correct (max err 4e-7 vs XLA on TPU) base for deeper fusions
+(full MSE-loss epilogue, dW/dX single-pass) and tile tuning.
 
 All shapes here are multiples of 128 by construction (6400 = 50*128,
 19200 = 150*128, batch padded to 128); `fused_output` falls back to plain

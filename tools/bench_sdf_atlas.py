@@ -10,6 +10,9 @@ Run: python tools/bench_sdf_atlas.py [--steps 2000] [--cell 64]
 
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
