@@ -101,8 +101,9 @@ def train(
         f"{output_dir}/metrics.jsonl" if output_dir else None
     )
 
-    key = jax.random.PRNGKey(tcfg.seed)
-    state = train_step_mod.init_state(key, mcfg, tcfg)
+    key = jax.random.key(tcfg.seed, impl=tcfg.prng_impl)
+    init_key = jax.random.PRNGKey(tcfg.seed)  # param init stays threefry
+    state = train_step_mod.init_state(init_key, mcfg, tcfg)
     if mesh is not None:
         from ..parallel import shard_state
 

@@ -38,7 +38,12 @@ class TrainState(NamedTuple):
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
-        optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=1e-8),
+        optax.scale_by_adam(
+            b1=cfg.adam_b1,
+            b2=cfg.adam_b2,
+            eps=1e-8,
+            mu_dtype=jnp.bfloat16 if cfg.adam_mu_bf16 else None,
+        ),
         optax.add_decayed_weights(cfg.weight_decay),
         optax.scale(-1.0),
     )
