@@ -91,11 +91,38 @@ def build_layouts(
     if os.path.exists(path):
         z = np.load(path)
         return z["codes"], z["grids"]
-    texts = generate_corpus(num_samples, base_seed=base_seed)
-    codes = encode_codes(texts, spec.max_chars)
-    grids = encode_grids(
-        texts, atlas.advance_table(), spec, atlas.n_lines, atlas.n_slots
-    )
+
+    # Fast path: the native C++ generator (bit-exact twin, ~100x faster) when
+    # the layout matches its assumptions: printable-ASCII charset indexed by
+    # code-32, monospace advances. Python path otherwise and as fallback.
+    from ..config import PRINTABLE_ASCII
+    from . import native
+
+    codes = grids = None
+    if (
+        atlas.charset == PRINTABLE_ASCII
+        and atlas.advance_table().is_monospace
+        and spec.padding == 0
+    ):
+        out = native.generate_corpus_grids(
+            num_samples,
+            base_seed,
+            10,
+            100,
+            float(atlas.advance_px),
+            int(spec.width - 2 * spec.padding),
+            atlas.n_lines,
+            atlas.n_slots,
+            spec.max_chars,
+        )
+        if out is not None:
+            codes, grids = out
+    if codes is None:
+        texts = generate_corpus(num_samples, base_seed=base_seed)
+        codes = encode_codes(texts, spec.max_chars)
+        grids = encode_grids(
+            texts, atlas.advance_table(), spec, atlas.n_lines, atlas.n_slots
+        )
     os.makedirs(cache_dir, exist_ok=True)
     np.savez_compressed(path, codes=codes, grids=grids)
     return codes, grids

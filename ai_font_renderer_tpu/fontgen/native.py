@@ -17,22 +17,20 @@ import threading
 import numpy as np
 
 _LOCK = threading.Lock()
-_LIB: ctypes.CDLL | None = None
-_BUILD_FAILED = False
+_LIBS: dict[str, ctypes.CDLL | None] = {}
 
-_SRC = os.path.join(os.path.dirname(__file__), "native", "rasterizer.cpp")
-_SO = os.path.join(os.path.dirname(__file__), "native", "librasterizer.so")
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 
 
-def _load() -> ctypes.CDLL | None:
-    global _LIB, _BUILD_FAILED
+def _build_and_load(name: str) -> ctypes.CDLL | None:
+    """Compile native/<name>.cpp to lib<name>.so (cached) and dlopen it."""
+    src = os.path.join(_NATIVE_DIR, f"{name}.cpp")
+    so = os.path.join(_NATIVE_DIR, f"lib{name}.so")
     with _LOCK:
-        if _LIB is not None or _BUILD_FAILED:
-            return _LIB
+        if name in _LIBS:
+            return _LIBS[name]
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-                _SRC
-            ):
+            if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
                 subprocess.run(
                     [
                         "g++",
@@ -41,31 +39,94 @@ def _load() -> ctypes.CDLL | None:
                         "-shared",
                         "-fPIC",
                         "-std=c++17",
-                        _SRC,
+                        src,
                         "-o",
-                        _SO,
+                        so,
                     ],
                     check=True,
                     capture_output=True,
                 )
-            lib = ctypes.CDLL(_SO)
-            lib.rasterize_batch.argtypes = [
-                ctypes.POINTER(ctypes.c_float),
-                ctypes.POINTER(ctypes.c_int64),
-                ctypes.c_int64,
-                ctypes.c_int32,
-                ctypes.c_int32,
-                ctypes.POINTER(ctypes.c_float),
-            ]
-            lib.rasterize_batch.restype = None
-            _LIB = lib
+            _LIBS[name] = ctypes.CDLL(so)
         except (subprocess.CalledProcessError, OSError):
-            _BUILD_FAILED = True
-        return _LIB
+            _LIBS[name] = None
+        return _LIBS[name]
+
+
+def _load() -> ctypes.CDLL | None:
+    lib = _build_and_load("rasterizer")
+    if lib is not None and not hasattr(lib, "_configured"):
+        lib.rasterize_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.rasterize_batch.restype = None
+        lib._configured = True
+    return lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def corpus_available() -> bool:
+    return _build_and_load("corpus") is not None
+
+
+def generate_corpus_grids(
+    num_samples: int,
+    base_seed: int,
+    min_len: int,
+    max_len: int,
+    advance_px: float,
+    max_width: int,
+    n_lines: int,
+    n_slots: int,
+    max_chars: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native LCG corpus + monospace grid layout; None if no toolchain.
+
+    Bit-exact twin of textgen.generate_corpus + layout.encode_codes/
+    encode_grids (locked by tests); ~100x faster for the 150k build.
+    """
+    lib = _build_and_load("corpus")
+    if lib is None:
+        return None
+    if not hasattr(lib, "_configured"):
+        lib.generate_corpus_grids.argtypes = [
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_double,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int16),
+        ]
+        lib.generate_corpus_grids.restype = None
+        lib._configured = True
+    codes = np.zeros((num_samples, max_chars), np.int32)
+    grids = np.zeros((num_samples, n_lines, n_slots), np.int16)
+    lib.generate_corpus_grids(
+        num_samples,
+        base_seed,
+        min_len,
+        max_len,
+        advance_px,
+        max_width,
+        n_lines,
+        n_slots,
+        max_chars,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        grids.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    return codes, grids
 
 
 def rasterize_batch(
