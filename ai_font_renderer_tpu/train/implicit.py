@@ -19,7 +19,13 @@ from ..models import multifont as mf
 from ..models import siren
 
 
-def _scan_train(loss_fn, params, steps: int, lr: float, targets_tuple):
+def _scan_train(
+    loss_fn, params, steps: int, lr: float, targets_tuple, chunk_size: int = 500
+):
+    """Full-batch Adam with cosine decay, scanned on device in bounded
+    chunks (very long single device programs have tripped remote-worker
+    watchdogs; the schedule state lives in opt_state so chunking is
+    semantics-free)."""
     opt = optax.adam(
         learning_rate=optax.cosine_decay_schedule(lr, steps, alpha=0.01)
     )
@@ -29,11 +35,21 @@ def _scan_train(loss_fn, params, steps: int, lr: float, targets_tuple):
         p, s = carry
         loss, grads = jax.value_and_grad(loss_fn)(p, *targets_tuple)
         updates, s = opt.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        return (p, s), loss
+        return (optax.apply_updates(p, updates), s), loss
 
-    (params, _), losses = jax.lax.scan(step, (params, opt_state), None, length=steps)
-    return params, losses
+    @partial(jax.jit, static_argnames=("n",))
+    def run_chunk(carry, n):
+        return jax.lax.scan(step, carry, None, length=n)
+
+    carry = (params, opt_state)
+    losses = []
+    done = 0
+    while done < steps:
+        n = min(chunk_size, steps - done)
+        carry, ls = run_chunk(carry, n)
+        losses.append(ls)
+        done += n
+    return carry[0], jnp.concatenate(losses)
 
 
 def train_siren(
@@ -61,17 +77,13 @@ def train_siren(
     )
     char_ids = jnp.arange(len(charset))
     params = siren.init(jax.random.PRNGKey(seed), cfg)
-
-    fit = jax.jit(
-        lambda p: _scan_train(
-            partial(siren.loss_fn, cfg=cfg),
-            p,
-            steps,
-            lr,
-            (char_ids, coords_b, targets),
-        )
+    params, losses = _scan_train(
+        partial(siren.loss_fn, cfg=cfg),
+        params,
+        steps,
+        lr,
+        (char_ids, coords_b, targets),
     )
-    params, losses = fit(params)
     return params, losses, t
 
 
@@ -101,15 +113,11 @@ def train_multifont(
     font_ids = jnp.repeat(jnp.arange(F), C)
     char_ids = jnp.tile(jnp.arange(C), F)
     params = mf.init(jax.random.PRNGKey(seed), cfg)
-
-    fit = jax.jit(
-        lambda p: _scan_train(
-            partial(mf.loss_fn, cfg=cfg),
-            p,
-            steps,
-            lr,
-            (font_ids, char_ids, coords_b, targets),
-        )
+    params, losses = _scan_train(
+        partial(mf.loss_fn, cfg=cfg),
+        params,
+        steps,
+        lr,
+        (font_ids, char_ids, coords_b, targets),
     )
-    params, losses = fit(params)
     return params, losses, t
