@@ -111,3 +111,26 @@ def render_atlas(params: dict, cfg: SirenConfig) -> jax.Array:
 def loss_fn(params: dict, char_ids, coords, targets, cfg: SirenConfig):
     pred = apply(params, char_ids, coords, cfg)
     return jnp.mean((pred - targets) ** 2)
+
+
+def render_atlas_chunked(params: dict, cfg: SirenConfig, chunk: int = 256):
+    """Atlas render in fixed-size glyph chunks.
+
+    Full-Unicode charsets at once would materialize [N, cell^2, hidden]
+    activations (multi-GB); chunking bounds that while keeping each chunk a
+    single large device call. Returns [n_chars, cell, cell] on device.
+    """
+    coords = grid_coords(cfg.cell)
+
+    @jax.jit
+    def render_part(p, ids):
+        cb = jnp.broadcast_to(coords[None], (chunk, coords.shape[0], 2))
+        return apply(p, ids, cb, cfg)
+
+    n = cfg.n_chars
+    parts = []
+    for start in range(0, n, chunk):
+        ids = jnp.arange(start, start + chunk) % n  # pad tail by wrapping
+        parts.append(render_part(params, ids))
+    out = jnp.concatenate(parts, axis=0)[:n]
+    return out.reshape(n, cfg.cell, cfg.cell)

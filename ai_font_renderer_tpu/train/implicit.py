@@ -20,28 +20,48 @@ from ..models import siren
 
 
 def _scan_train(
-    loss_fn, params, steps: int, lr: float, targets_tuple, chunk_size: int = 500
+    loss_fn,
+    params,
+    steps: int,
+    lr: float,
+    data_tuple,
+    chunk_size: int = 500,
+    item_batch: int | None = None,
+    seed: int = 0,
 ):
-    """Full-batch Adam with cosine decay, scanned on device in bounded
-    chunks (very long single device programs have tripped remote-worker
-    watchdogs; the schedule state lives in opt_state so chunking is
-    semantics-free)."""
+    """Adam with cosine decay, scanned on device in bounded chunks.
+
+    Chunking keeps single device programs short (very long scans have
+    tripped remote-worker watchdogs); the schedule state lives in opt_state
+    so it is semantics-free. When ``item_batch`` is set, each step samples
+    that many rows (leading axis of every array in ``data_tuple``) — large
+    charsets (full Unicode) would otherwise materialize multi-GB activation
+    tensors per step.
+    """
     opt = optax.adam(
         learning_rate=optax.cosine_decay_schedule(lr, steps, alpha=0.01)
     )
     opt_state = opt.init(params)
+    n_items = data_tuple[0].shape[0]
+    use_batch = item_batch is not None and item_batch < n_items
 
     def step(carry, _):
-        p, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p, *targets_tuple)
+        p, s, k = carry
+        if use_batch:
+            k, sub = jax.random.split(k)
+            idx = jax.random.randint(sub, (item_batch,), 0, n_items)
+            args = tuple(jnp.take(a, idx, axis=0) for a in data_tuple)
+        else:
+            args = data_tuple
+        loss, grads = jax.value_and_grad(loss_fn)(p, *args)
         updates, s = opt.update(grads, s, p)
-        return (optax.apply_updates(p, updates), s), loss
+        return (optax.apply_updates(p, updates), s, k), loss
 
     @partial(jax.jit, static_argnames=("n",))
     def run_chunk(carry, n):
         return jax.lax.scan(step, carry, None, length=n)
 
-    carry = (params, opt_state)
+    carry = (params, opt_state, jax.random.key(seed, impl="rbg"))
     losses = []
     done = 0
     while done < steps:
@@ -59,6 +79,7 @@ def train_siren(
     steps: int = 2000,
     lr: float = 2e-4,
     seed: int = 42,
+    glyph_batch: int | None = None,
 ):
     """Fit the implicit glyph MLP to a rasterized charset.
 
@@ -83,6 +104,8 @@ def train_siren(
         steps,
         lr,
         (char_ids, coords_b, targets),
+        item_batch=glyph_batch,
+        seed=seed,
     )
     return params, losses, t
 

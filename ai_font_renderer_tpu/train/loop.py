@@ -184,9 +184,7 @@ def train(
             lr = scheduler.step(val_loss)
         # Snapshot best params with a real copy: the next epoch donates the
         # state's buffers, which would invalidate a mere reference.
-        is_best = early.update(
-            val_loss, None
-        )
+        is_best = early.update(val_loss, None)
         if is_best:
             early.best_state = jax.tree.map(jnp.copy, state.params)
 

@@ -2,6 +2,7 @@
 
 from .checkpoint import MODEL_FILENAME, CheckpointManager, load_params, save_params
 from .metrics import MetricsLogger, Stopwatch
+from .profiling import device_memory_stats, timed, trace
 
 __all__ = [
     "MODEL_FILENAME",
@@ -10,4 +11,7 @@ __all__ = [
     "save_params",
     "MetricsLogger",
     "Stopwatch",
+    "device_memory_stats",
+    "timed",
+    "trace",
 ]

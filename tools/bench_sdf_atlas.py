@@ -42,24 +42,19 @@ def main():
     )
     t0 = time.time()
     params, losses, _targets = train_siren(
-        FIRACODE_PATH, cfg, charset, steps=args.steps, lr=5e-4
+        FIRACODE_PATH, cfg, charset, steps=args.steps, lr=5e-4, glyph_batch=256
     )
     train_s = time.time() - t0
     final_loss = float(losses[-1])
 
-    # Batched atlas render: all glyphs x cell^2 coords, chained timing.
-    @jax.jit
-    def render(p, bias):
-        atlas = siren.render_atlas(p, cfg)
-        return atlas + bias  # bias dependency lets us chain iterations
-
-    bias = jnp.float32(0.0)
-    out = render(params, bias)
-    jax.block_until_ready(out)
+    # Batched atlas render in bounded glyph chunks; scalar fetch per window
+    # keeps the timing honest.
+    out = siren.render_atlas_chunked(params, cfg)
+    float(out.mean())
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = render(params, out.mean() * 1e-9)
+        out = siren.render_atlas_chunked(params, cfg)
     float(out.mean())
     dt = (time.perf_counter() - t0) / iters
     glyphs_per_sec = n / dt

@@ -148,19 +148,17 @@ def section_sdf_unicode(steps=2000):
     cfg = siren.SirenConfig(
         n_chars=n, cell=64, hidden_dim=128, n_layers=4, mode="sdf"
     )
-    params, losses, _ = train_siren(FIRACODE_PATH, cfg, charset, steps=steps, lr=5e-4)
+    params, losses, _ = train_siren(
+        FIRACODE_PATH, cfg, charset, steps=steps, lr=5e-4, glyph_batch=256
+    )
     train_s = time.time() - t0
 
-    @jax.jit
-    def render(p, bias):
-        return siren.render_atlas(p, cfg) + bias
-
-    out = render(params, jnp.float32(0.0))
+    out = siren.render_atlas_chunked(params, cfg)
     float(out.mean())
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = render(params, out.mean() * 1e-9)
+        out = siren.render_atlas_chunked(params, cfg)
     float(out.mean())
     dt = (time.perf_counter() - t0) / iters
     d = f"{OUT}/sdf_unicode"
@@ -186,9 +184,22 @@ def section_sdf_unicode(steps=2000):
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sections",
+        default="siren,multifont,sdf_unicode,montserrat",
+        help="comma-separated subset to run",
+    )
+    args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
-    section_siren()
-    section_multifont()
-    section_sdf_unicode()
-    section_montserrat()
+    table = {
+        "siren": section_siren,
+        "multifont": section_multifont,
+        "sdf_unicode": section_sdf_unicode,
+        "montserrat": section_montserrat,
+    }
+    for name in args.sections.split(","):
+        table[name.strip()]()
     print("# extended configs complete")
