@@ -113,24 +113,23 @@ def loss_fn(params: dict, char_ids, coords, targets, cfg: SirenConfig):
     return jnp.mean((pred - targets) ** 2)
 
 
+@partial(jax.jit, static_argnames=("cfg", "chunk"))
 def render_atlas_chunked(params: dict, cfg: SirenConfig, chunk: int = 256):
-    """Atlas render in fixed-size glyph chunks.
+    """Atlas render with bounded memory: `lax.map` over glyph chunks.
 
     Full-Unicode charsets at once would materialize [N, cell^2, hidden]
-    activations (multi-GB); chunking bounds that while keeping each chunk a
-    single large device call. Returns [n_chars, cell, cell] on device.
+    activations (multi-GB); mapping sequential [chunk, cell^2, hidden]
+    blocks bounds that inside ONE compiled program. Returns
+    [n_chars, cell, cell] on device.
     """
-    coords = grid_coords(cfg.cell)
-
-    @jax.jit
-    def render_part(p, ids):
-        cb = jnp.broadcast_to(coords[None], (chunk, coords.shape[0], 2))
-        return apply(p, ids, cb, cfg)
-
     n = cfg.n_chars
-    parts = []
-    for start in range(0, n, chunk):
-        ids = jnp.arange(start, start + chunk) % n  # pad tail by wrapping
-        parts.append(render_part(params, ids))
-    out = jnp.concatenate(parts, axis=0)[:n]
-    return out.reshape(n, cfg.cell, cfg.cell)
+    coords = grid_coords(cfg.cell)
+    n_chunks = -(-n // chunk)
+    ids = (jnp.arange(n_chunks * chunk) % n).reshape(n_chunks, chunk)
+
+    def render_part(part_ids):
+        cb = jnp.broadcast_to(coords[None], (chunk, coords.shape[0], 2))
+        return apply(params, part_ids, cb, cfg)
+
+    out = jax.lax.map(render_part, ids)  # [n_chunks, chunk, cell^2]
+    return out.reshape(n_chunks * chunk, cfg.cell, cfg.cell)[:n]

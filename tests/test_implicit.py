@@ -88,3 +88,11 @@ class TestMultiFont:
         assert np.isfinite(atlas).all()
         losses = np.asarray(losses)
         assert losses[-1] < losses[0]
+
+
+def test_render_atlas_chunked_matches_full():
+    cfg = siren.SirenConfig(n_chars=10, cell=16, hidden_dim=32, n_layers=2)
+    params = siren.init(jax.random.PRNGKey(1), cfg)
+    full = np.asarray(siren.render_atlas(params, cfg))
+    chunked = np.asarray(siren.render_atlas_chunked(params, cfg, chunk=4))
+    np.testing.assert_allclose(chunked, full, atol=1e-6)
