@@ -159,26 +159,20 @@ def train(
 
             batch_idx = shard_batch_idx(mesh, batch_idx)
         epoch_key = jax.random.fold_in(key, epoch)
-        state, train_loss = train_step_mod.train_epoch(
+        # Train scan + validation pass fused into one device dispatch.
+        state, train_loss, val_loss = train_step_mod.train_eval_epoch(
             state,
             dataset.codes,
             dataset.targets_u8,
             batch_idx,
+            val_batch_idx,
+            val_weights,
             jnp.float32(lr),
             epoch_key,
             mcfg,
             tcfg,
         )
-        val_loss = float(
-            train_step_mod.eval_epoch(
-                state.params,
-                dataset.codes,
-                dataset.targets_u8,
-                val_batch_idx,
-                val_weights,
-                mcfg,
-            )
-        )
+        val_loss = float(val_loss)
         train_loss = float(train_loss)
         if cosine is None:
             lr = scheduler.step(val_loss)

@@ -89,6 +89,39 @@ def train_step(
     return TrainState(params, opt_state), loss
 
 
+def _train_scan(state, codes_all, targets_all, batch_idx, lr, key, mcfg, tcfg):
+    opt = make_optimizer(tcfg)
+
+    def step(carry, idx):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        codes = jnp.take(codes_all, idx, axis=0)
+        targets = jnp.take(targets_all, idx, axis=0).astype(jnp.float32) / 255.0
+        loss, grads = jax.value_and_grad(loss_fn)(
+            st.params, codes, targets, mcfg, sub, True
+        )
+        updates, opt_state = opt.update(grads, st.opt_state, st.params)
+        updates = jax.tree.map(lambda u: lr * u, updates)
+        params = optax.apply_updates(st.params, updates)
+        return (TrainState(params, opt_state), k), loss
+
+    (state, _), losses = jax.lax.scan(step, (state, key), batch_idx)
+    return state, jnp.mean(losses)
+
+
+def _eval_scan(params, codes_all, targets_all, batch_idx, weights, mcfg):
+    def step(carry, inp):
+        idx, w = inp
+        codes = jnp.take(codes_all, idx, axis=0)
+        targets = jnp.take(targets_all, idx, axis=0).astype(jnp.float32) / 255.0
+        pred = font_renderer.apply(params, codes, mcfg, train=False)
+        per_sample = jnp.mean((pred - targets) ** 2, axis=(1, 2), dtype=jnp.float32)
+        return carry, (jnp.sum(per_sample * w), jnp.sum(w))
+
+    _, (sums, counts) = jax.lax.scan(step, None, (batch_idx, weights))
+    return jnp.sum(sums) / jnp.maximum(jnp.sum(counts), 1.0)
+
+
 @partial(
     jax.jit,
     static_argnames=("mcfg", "tcfg"),
@@ -109,23 +142,36 @@ def train_epoch(
     Returns (new_state, mean train loss over the epoch's batches), matching
     the reference's avg_train_loss (model.py:333).
     """
-    opt = make_optimizer(tcfg)
+    return _train_scan(
+        state, codes_all, targets_all, batch_idx, lr, key, mcfg, tcfg
+    )
 
-    def step(carry, idx):
-        st, k = carry
-        k, sub = jax.random.split(k)
-        codes = jnp.take(codes_all, idx, axis=0)
-        targets = jnp.take(targets_all, idx, axis=0).astype(jnp.float32) / 255.0
-        loss, grads = jax.value_and_grad(loss_fn)(
-            st.params, codes, targets, mcfg, sub, True
-        )
-        updates, opt_state = opt.update(grads, st.opt_state, st.params)
-        updates = jax.tree.map(lambda u: lr * u, updates)
-        params = optax.apply_updates(st.params, updates)
-        return (TrainState(params, opt_state), k), loss
 
-    (state, _), losses = jax.lax.scan(step, (state, key), batch_idx)
-    return state, jnp.mean(losses)
+@partial(
+    jax.jit,
+    static_argnames=("mcfg", "tcfg"),
+    donate_argnames=("state",),
+)
+def train_eval_epoch(
+    state: TrainState,
+    codes_all: jax.Array,
+    targets_all: jax.Array,
+    batch_idx: jax.Array,
+    val_batch_idx: jax.Array,
+    val_weights: jax.Array,
+    lr: jax.Array,
+    key: jax.Array,
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+) -> tuple[TrainState, jax.Array, jax.Array]:
+    """Training epoch + validation pass fused into ONE device dispatch."""
+    state, train_loss = _train_scan(
+        state, codes_all, targets_all, batch_idx, lr, key, mcfg, tcfg
+    )
+    val_loss = _eval_scan(
+        state.params, codes_all, targets_all, val_batch_idx, val_weights, mcfg
+    )
+    return state, train_loss, val_loss
 
 
 @partial(jax.jit, static_argnames=("mcfg",))
@@ -144,16 +190,4 @@ def eval_epoch(
     remainder; sample weighting is the principled equivalent and identical
     when batches divide evenly.)
     """
-
-    def step(carry, inp):
-        idx, w = inp
-        codes = jnp.take(codes_all, idx, axis=0)
-        targets = jnp.take(targets_all, idx, axis=0).astype(jnp.float32) / 255.0
-        pred = font_renderer.apply(params, codes, mcfg, train=False)
-        per_sample = jnp.mean(
-            (pred - targets) ** 2, axis=(1, 2), dtype=jnp.float32
-        )
-        return carry, (jnp.sum(per_sample * w), jnp.sum(w))
-
-    _, (sums, counts) = jax.lax.scan(step, None, (batch_idx, weights))
-    return jnp.sum(sums) / jnp.maximum(jnp.sum(counts), 1.0)
+    return _eval_scan(params, codes_all, targets_all, batch_idx, weights, mcfg)
