@@ -113,12 +113,12 @@ def cmd_fontgen(args) -> int:
 
     import jax.numpy as jnp
 
-    from .fontgen import bake_atlas, make_synth_ops, synthesize_sheets, write_bmp
-    from .fontgen.dataset import build_layouts
+    from .fontgen import write_bmp
+    from .fontgen.ttf import TrueTypeFont
     from .fontgen.textgen import generate_corpus
+    from .config import PRINTABLE_ASCII
 
     spec = SheetSpec()
-    atlas = bake_atlas(args.font, spec)
     out = args.out
     if os.path.exists(out):
         print(f"Removing existing directory {out}...")
@@ -130,8 +130,29 @@ def cmd_fontgen(args) -> int:
         f.write("\n".join(texts))
     print(f"Saved all text data to {out}/data.txt")
 
-    codes, grids = build_layouts(atlas, args.num_samples)
-    ops = make_synth_ops(atlas, jnp.float32)
+    # Dispatch monospace (fixed-grid atlas) vs proportional (variant atlas).
+    f = TrueTypeFont.load(args.font)
+    monospace = (
+        len({f.advance(f.glyph_id(ord(c))) for c in PRINTABLE_ASCII}) == 1
+    )
+    if monospace:
+        from .fontgen import bake_atlas, make_synth_ops, synthesize_sheets
+        from .fontgen.dataset import build_layouts
+
+        atlas = bake_atlas(args.font, spec)
+        _, grids = build_layouts(atlas, args.num_samples)
+        ops = make_synth_ops(atlas, jnp.float32)
+        synth = lambda g: synthesize_sheets(ops, jnp.asarray(g))
+    else:
+        from .fontgen.proportional import (
+            bake_prop_atlas,
+            encode_prop_grids,
+            synthesize_prop_sheets,
+        )
+
+        atlas = bake_prop_atlas(args.font, spec)
+        grids = encode_prop_grids(texts, atlas)
+        synth = lambda g: synthesize_prop_sheets(atlas, g, dtype=jnp.float32)
     print("Rendering bitmaps...")
     chunk = 2048
     for start in range(0, args.num_samples, chunk):
@@ -139,7 +160,7 @@ def cmd_fontgen(args) -> int:
         pad = chunk - len(part)
         if pad:
             part = np.concatenate([part, np.zeros((pad,) + part.shape[1:], part.dtype)])
-        sheets = np.asarray(synthesize_sheets(ops, jnp.asarray(part)))
+        sheets = np.asarray(synth(part))
         for i in range(min(chunk, args.num_samples - start)):
             write_bmp(os.path.join(out, f"{start + i + 1}.bmp"), sheets[i])
     metadata = (

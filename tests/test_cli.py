@@ -71,3 +71,17 @@ def test_default_output_dir_format():
     # timestamped %m_%d_%H_%M_%S → 5 underscore-separated numeric fields
     parts = d[len("train_output_"):].split("_")
     assert len(parts) == 5 and all(p.isdigit() for p in parts)
+
+
+def test_fontgen_montserrat_export(tmp_path):
+    from ai_font_renderer_tpu.config import MONTSERRAT_PATH
+    from ai_font_renderer_tpu.fontgen.bmp import read_bmp
+
+    out = tmp_path / "ti_mont"
+    rc = cli.main(
+        ["fontgen", "--num-samples", "2", "--out", str(out), "--font", MONTSERRAT_PATH]
+    )
+    assert rc == 0
+    img = read_bmp(str(out / "1.bmp"))
+    assert img.shape == (80, 240)
+    assert (img < 0.5).any()  # proportional render has ink
