@@ -106,8 +106,7 @@ def _layer_norm(x, scale, bias, eps=1e-5):
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-@partial(jax.jit, static_argnames=("cfg", "train"))
-def apply(
+def frontend(
     params: dict,
     codes: jax.Array,
     cfg: ModelConfig = ModelConfig(),
@@ -115,7 +114,14 @@ def apply(
     train: bool = False,
     key: jax.Array | None = None,
 ) -> jax.Array:
-    """Forward pass: int codes [B, <=max_length] -> sheets [B, H, W] in [0,1]."""
+    """Everything before the output projection: codes -> flat [B, 6400].
+
+    Split out so the fused train step (train/step.py) can drive the
+    frontend through jax.vjp while handling the dominant GEMM + its
+    optimizer update in a fused Pallas kernel. ``apply`` composes this with
+    the projection; the dropout key schedule lives here so both paths draw
+    identical masks.
+    """
     B, S = codes.shape
     S = min(S, cfg.max_length)
     codes = codes[:, :S]
@@ -138,6 +144,21 @@ def apply(
     full = cfg.max_length * cfg.hidden_dim
     if flat.shape[1] < full:  # zero-pad short sequences (model.py:190-193)
         flat = jnp.pad(flat, ((0, 0), (0, full - flat.shape[1])))
+    return flat
+
+
+@partial(jax.jit, static_argnames=("cfg", "train"))
+def apply(
+    params: dict,
+    codes: jax.Array,
+    cfg: ModelConfig = ModelConfig(),
+    *,
+    train: bool = False,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Forward pass: int codes [B, <=max_length] -> sheets [B, H, W] in [0,1]."""
+    B = codes.shape[0]
+    flat = frontend(params, codes, cfg, train=train, key=key)
 
     # The dominant GEMM: [B, 6400] @ [6400, 19200]. bf16 inputs, f32
     # accumulation — the MXU's native mode.

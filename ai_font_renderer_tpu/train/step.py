@@ -36,6 +36,17 @@ class TrainState(NamedTuple):
     opt_state: tuple
 
 
+class FusedTrainState(NamedTuple):
+    """State for the fused-out_w path: out_w's AdamW moments live outside
+    optax so the Pallas dW+AdamW kernel can update them in place."""
+
+    params: dict
+    opt_state: tuple  # optax state over params EXCEPT out_w
+    mu_w: jax.Array
+    nu_w: jax.Array
+    count: jax.Array  # int32 shared step counter (t)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.scale_by_adam(
@@ -87,6 +98,133 @@ def train_step(
     updates = jax.tree.map(lambda u: lr * u, updates)
     params = optax.apply_updates(state.params, updates)
     return TrainState(params, opt_state), loss
+
+
+def init_fused_state(
+    key: jax.Array, mcfg: ModelConfig, tcfg: TrainConfig
+) -> FusedTrainState:
+    params = font_renderer.init(key, mcfg)
+    rest = {k: v for k, v in params.items() if k != "out_w"}
+    opt_state = make_optimizer(tcfg).init(rest)
+    mu_dtype = jnp.bfloat16 if tcfg.adam_mu_bf16 else jnp.float32
+    return FusedTrainState(
+        params=params,
+        opt_state=opt_state,
+        mu_w=jnp.zeros(params["out_w"].shape, mu_dtype),
+        nu_w=jnp.zeros(params["out_w"].shape, jnp.float32),
+        count=jnp.zeros((), jnp.int32),
+    )
+
+
+def _fused_step(state: FusedTrainState, codes, targets, lr, key, mcfg, tcfg):
+    """One step with the dW+AdamW Pallas fusion on the output projection.
+
+    Mathematically identical to the standard step: same forward, same MSE,
+    same AdamW; the only difference is that out_w's gradient never round-
+    trips through HBM (ops/fused_dw_adamw.py).
+    """
+    from ..ops.fused_dw_adamw import fused_dw_adamw
+
+    params = state.params
+    rest = {k: v for k, v in params.items() if k != "out_w"}
+
+    def front(rest_params):
+        # frontend never touches out_w/out_b; differentiating w.r.t. the
+        # rest-dict keeps the giant projection out of autodiff entirely.
+        return font_renderer.frontend(rest_params, codes, mcfg, train=True, key=key)
+
+    flat, vjp = jax.vjp(front, rest)
+    dt = jnp.bfloat16 if mcfg.bf16_matmul else jnp.float32
+    pre = (
+        jnp.dot(
+            flat.astype(dt),
+            params["out_w"].astype(dt),
+            preferred_element_type=jnp.float32,
+        )
+        + params["out_b"]
+    )
+    out = jnp.clip(pre, 0.0, 1.0)
+    tflat = targets.reshape(targets.shape[0], -1).astype(jnp.float32)
+    d = out - tflat
+    loss = jnp.mean(d * d)
+    g = (2.0 / d.size) * d  # dL/dout, unmasked (kernel + dflat mask below)
+    gm = jnp.where((out > 0.0) & (out < 1.0), g, 0.0)
+    dflat = jnp.dot(
+        gm.astype(dt), params["out_w"].T.astype(dt), preferred_element_type=jnp.float32
+    )
+    (grads_rest,) = vjp(dflat)
+    grads_rest = dict(grads_rest)
+    grads_rest["out_b"] = jnp.sum(gm, axis=0)
+
+    # Rest of the parameters (13K params + out_b): plain optax AdamW.
+    opt = make_optimizer(tcfg)
+    updates, opt_state = opt.update(grads_rest, state.opt_state, rest)
+    updates = jax.tree.map(lambda u: lr * u, updates)
+    new_rest = optax.apply_updates(rest, updates)
+
+    # out_w (122.9M params): fused dW GEMM + AdamW, no HBM gradient.
+    count = state.count + 1
+    new_w, new_mu, new_nu = fused_dw_adamw(
+        flat,
+        g,
+        out,
+        params["out_w"],
+        state.mu_w,
+        state.nu_w,
+        lr,
+        tcfg.weight_decay,
+        tcfg.adam_b1,
+        tcfg.adam_b2,
+        count,
+    )
+    new_params = {**new_rest, "out_w": new_w}
+    return (
+        FusedTrainState(new_params, opt_state, new_mu, new_nu, count),
+        loss,
+    )
+
+
+@partial(jax.jit, static_argnames=("mcfg", "tcfg"), donate_argnames=("state",))
+def train_step_fused(
+    state: FusedTrainState,
+    codes: jax.Array,
+    targets: jax.Array,
+    lr: jax.Array,
+    key: jax.Array,
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+) -> tuple[FusedTrainState, jax.Array]:
+    return _fused_step(state, codes, targets, lr, key, mcfg, tcfg)
+
+
+@partial(jax.jit, static_argnames=("mcfg", "tcfg"), donate_argnames=("state",))
+def train_eval_epoch_fused(
+    state: FusedTrainState,
+    codes_all: jax.Array,
+    targets_all: jax.Array,
+    batch_idx: jax.Array,
+    val_batch_idx: jax.Array,
+    val_weights: jax.Array,
+    lr: jax.Array,
+    key: jax.Array,
+    mcfg: ModelConfig,
+    tcfg: TrainConfig,
+) -> tuple[FusedTrainState, jax.Array, jax.Array]:
+    """Fused-kernel variant of train_eval_epoch: one dispatch per epoch."""
+
+    def step(carry, idx):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        codes = jnp.take(codes_all, idx, axis=0)
+        targets = jnp.take(targets_all, idx, axis=0).astype(jnp.float32) / 255.0
+        st, loss = _fused_step(st, codes, targets, lr, sub, mcfg, tcfg)
+        return (st, k), loss
+
+    (state, _), losses = jax.lax.scan(step, (state, key), batch_idx)
+    val_loss = _eval_scan(
+        state.params, codes_all, targets_all, val_batch_idx, val_weights, mcfg
+    )
+    return state, jnp.mean(losses), val_loss
 
 
 def _train_scan(state, codes_all, targets_all, batch_idx, lr, key, mcfg, tcfg):

@@ -1,0 +1,106 @@
+"""Fused dW+AdamW step: numerical equivalence with the standard step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ai_font_renderer_tpu.config import ModelConfig, TrainConfig
+from ai_font_renderer_tpu.train.step import (
+    init_fused_state,
+    init_state,
+    train_step,
+    train_step_fused,
+)
+
+# Tile-aligned tiny geometry: flat = 16*8 = 128, pixels = 16*16 = 256.
+MCFG = ModelConfig(
+    max_length=16, hidden_dim=8, sheet_height=16, sheet_width=16
+)
+TCFG = TrainConfig(batch_size=128, adam_mu_bf16=False)
+
+
+@pytest.fixture(scope="module")
+def batch():
+    key = jax.random.PRNGKey(5)
+    codes = jax.random.randint(key, (128, 16), 65, 91, jnp.int32)
+    targets = jax.random.uniform(key, (128, 16, 16))
+    return codes, targets
+
+
+def test_fused_matches_standard_gradients(batch):
+    """Gradient-level equivalence.
+
+    Post-Adam parameters can't be compared directly after few steps: at t=1
+    Adam's update is ~lr*sign(g), so bf16 GEMM rounding noise (~1e-6) on
+    near-zero gradient entries flips update signs. The meaningful contract
+    is that the *gradients and moments* agree to GEMM-rounding tolerance —
+    both paths then walk statistically identical trajectories (losses agree
+    to ~1e-5 over multiple steps, asserted below).
+    """
+    from ai_font_renderer_tpu.train.step import loss_fn
+
+    codes, targets = batch
+    lr = jnp.float32(1e-3)
+    key = jax.random.PRNGKey(7)
+    k = jax.random.fold_in(key, 0)
+
+    s_std = init_state(jax.random.PRNGKey(0), MCFG, TCFG)
+    s_fused = init_fused_state(jax.random.PRNGKey(0), MCFG, TCFG)
+    np.testing.assert_array_equal(
+        np.asarray(s_std.params["out_w"]), np.asarray(s_fused.params["out_w"])
+    )
+
+    _, grads = jax.value_and_grad(loss_fn)(
+        s_std.params, codes, targets, MCFG, k, True
+    )
+    s_f1, _ = train_step_fused(s_fused, codes, targets, lr, k, MCFG, TCFG)
+    # mu after the first step is (1-b1)*g; nu is (1-b2)*g^2.
+    dw_fused = np.asarray(s_f1.mu_w) / (1 - TCFG.adam_b1)
+    np.testing.assert_allclose(
+        dw_fused, np.asarray(grads["out_w"]), atol=1e-5
+    )
+    mu_rest = s_f1.opt_state[0].mu
+    for name in grads:
+        if name == "out_w":
+            continue
+        np.testing.assert_allclose(
+            np.asarray(mu_rest[name]) / (1 - TCFG.adam_b1),
+            np.asarray(grads[name]),
+            atol=2e-5,
+            err_msg=name,
+        )
+    assert int(s_f1.count) == 1
+
+    # Loss trajectories track each other across steps.
+    s1, s2 = s_std, s_fused
+    for i in range(3):
+        kk = jax.random.fold_in(key, i)
+        s1, l1 = train_step(s1, codes, targets, lr, kk, MCFG, TCFG)
+        s2, l2 = train_step_fused(s2, codes, targets, lr, kk, MCFG, TCFG)
+        assert float(l1) == pytest.approx(float(l2), rel=1e-4)
+
+
+def test_fused_epoch_runs(batch):
+    from ai_font_renderer_tpu.train.step import train_eval_epoch_fused
+
+    codes, targets = batch
+    targets_u8 = jnp.round(targets * 255).astype(jnp.uint8)
+    state = init_fused_state(jax.random.PRNGKey(0), MCFG, TCFG)
+    batch_idx = jnp.arange(128, dtype=jnp.int32).reshape(1, 128)
+    vb = batch_idx
+    vw = jnp.ones((1, 128), jnp.float32)
+    state, tr, vl = train_eval_epoch_fused(
+        state,
+        codes,
+        targets_u8,
+        batch_idx,
+        vb,
+        vw,
+        jnp.float32(1e-3),
+        jax.random.key(0, impl="rbg"),
+        MCFG,
+        TCFG,
+    )
+    assert np.isfinite(float(tr)) and np.isfinite(float(vl))
+    assert int(state.count) == 1
