@@ -72,8 +72,10 @@ def test_fused_matches_standard_gradients(batch):
         )
     assert int(s_f1.count) == 1
 
-    # Loss trajectories track each other across steps.
-    s1, s2 = s_std, s_fused
+    # Loss trajectories track each other across steps. (Fresh states: the
+    # earlier calls donated these buffers.)
+    s1 = init_state(jax.random.PRNGKey(0), MCFG, TCFG)
+    s2 = init_fused_state(jax.random.PRNGKey(0), MCFG, TCFG)
     for i in range(3):
         kk = jax.random.fold_in(key, i)
         s1, l1 = train_step(s1, codes, targets, lr, kk, MCFG, TCFG)
