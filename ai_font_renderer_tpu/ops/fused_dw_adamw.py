@@ -8,6 +8,14 @@ This kernel computes each dW tile on the MXU and applies AdamW to the
 corresponding (w, mu, nu) tiles while the gradient tile is still in VMEM —
 dW never exists in HBM, saving ~1 GB of traffic per step.
 
+Status (v5e, measured A/B at B=1024): 20 ms vs 14.8 ms for the standard
+step — a NEGATIVE result at these shapes. The (k, n) tiling must re-stream
+g/out once per K-tile (25x158 MB) and x once per N-tile (50x26 MB), ~3 GB of
+extra reads that outweigh the saved dW round trip; the optimizer-state
+traffic (2.5 GB r+w) is irreducible either way. The kernel stays available
+(and exactly equivalent, see tests/test_fused_step.py) as the base for a
+larger-VMEM-tile revision; the default path remains XLA.
+
 Math is exactly the framework's AdamW (torch-parity, model.py:273):
 
     mu  <- b1*mu + (1-b1)*dW
@@ -101,7 +109,7 @@ def fused_dw_adamw(
     count: jax.Array,  # int32 step count AFTER increment (t)
     eps: float = 1e-8,
     bm: int = 256,
-    bk: int = 640,
+    bk: int = 256,
     bn: int = 384,
     interpret: bool | None = None,
 ):
