@@ -7,7 +7,15 @@ whose sheets are synthesized on the TPU itself.
 
 from .atlas import GlyphAtlas, bake_atlas
 from .bmp import encode_bmp, read_bmp, write_bmp
+from .glyphs import rasterize_charset, sdf_charset, unicode_charset
+from .kerning import KerningTable
 from .layout import AdvanceTable, encode_codes, encode_grids, wrap_text
+from .proportional import (
+    PropAtlas,
+    bake_prop_atlas,
+    encode_prop_grids,
+    synthesize_prop_sheets,
+)
 from .sheets import (
     SynthOps,
     make_synth_ops,
@@ -23,10 +31,18 @@ __all__ = [
     "encode_bmp",
     "read_bmp",
     "write_bmp",
+    "rasterize_charset",
+    "sdf_charset",
+    "unicode_charset",
+    "KerningTable",
     "AdvanceTable",
     "encode_codes",
     "encode_grids",
     "wrap_text",
+    "PropAtlas",
+    "bake_prop_atlas",
+    "encode_prop_grids",
+    "synthesize_prop_sheets",
     "SynthOps",
     "make_synth_ops",
     "synthesize_sheets",
