@@ -19,15 +19,15 @@ from ai_font_renderer_tpu.models import font_renderer
 from ai_font_renderer_tpu.ops.quantized import apply_quantized, quantize_params
 
 
-def chain_time(fn, codes, iters=50, rounds=3):
-    out, nxt = fn(codes)
+def chain_time(fn, params, codes, iters=50, rounds=3):
+    out, nxt = fn(params, codes)
     jax.block_until_ready((out, nxt))
     best = float("inf")
     for _ in range(rounds):
         t0 = time.perf_counter()
         c = codes
         for _ in range(iters):
-            out, c = fn(c)
+            out, c = fn(params, c)
         float(out.mean())
         best = min(best, time.perf_counter() - t0)
     return best / iters
@@ -40,20 +40,22 @@ def main():
     codes = jax.random.randint(jax.random.PRNGKey(1), (B, 100), 65, 91, jnp.int32)
 
     def make_chain(apply_fn):
+        # params travel as a jit ARGUMENT: closing over them would embed
+        # 492 MB of weights as constants in the compiled program.
         @jax.jit
-        def f(c):
-            out = apply_fn(c)
+        def f(p, c):
+            out = apply_fn(p, c)
             delta = (out[:, :1, :100] * 7).astype(jnp.int32).reshape(c.shape)
             return out, (c + delta) % 26 + 65
 
         return f
 
-    full = make_chain(lambda c: font_renderer.apply(params, c, mcfg, train=False))
-    dt_full = chain_time(full, codes)
+    full = make_chain(lambda p, c: font_renderer.apply(p, c, mcfg, train=False))
+    dt_full = chain_time(full, params, codes)
 
     served = quantize_params(params)
-    q = make_chain(lambda c: apply_quantized(served, c, mcfg))
-    dt_q = chain_time(q, codes)
+    q = make_chain(lambda p, c: apply_quantized(p, c, mcfg))
+    dt_q = chain_time(q, served, codes)
 
     for tag, dt in [("bf16", dt_full), ("int8", dt_q)]:
         print(
