@@ -10,7 +10,6 @@ per run.
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 from dataclasses import dataclass
 
@@ -105,8 +104,6 @@ class TrainConfig:
     adam_mu_bf16: bool = True
     # How often to log + render eval strings (model.py:349 renders every 5).
     eval_every: int = 5
-    # Mixed precision for the dominant GEMMs; params/optimizer stay f32.
-    use_bfloat16: bool = True
     # Checkpoint every N epochs (0 = only final). The reference only saves
     # final weights (helpers.py:76-79); periodic checkpointing is new.
     checkpoint_every: int = 25
@@ -125,18 +122,6 @@ class MeshConfig:
     model_axis: str = "model"
     data_parallel: int = 1
     model_parallel: int = 1
-
-
-def num_lines(spec: SheetSpec, ascent_px: float) -> int:
-    """Number of text lines whose glyphs can intersect the sheet."""
-    n = 0
-    while True:
-        baseline = (n + 1) * spec.line_height
-        if baseline - ascent_px >= spec.height:
-            return n + 1  # current line is the first fully-invisible one
-        n += 1
-        if n > 64:
-            return n
 
 
 def replace(cfg, **kw):

@@ -21,7 +21,6 @@ are unchanged; GSPMD propagates these shardings through the whole graph.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .mesh import DATA_AXIS, MODEL_AXIS

@@ -16,13 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, TrainConfig
-from ..fontgen.atlas import GlyphAtlas
-from ..fontgen.dataset import (
-    DeviceDataset,
-    build_device_dataset,
-    split_permutation,
-    split_sizes,
-)
+from ..fontgen.dataset import DeviceDataset, split_permutation, split_sizes
 from ..utils.checkpoint import CheckpointManager
 from ..utils.metrics import MetricsLogger, Stopwatch
 from . import step as train_step_mod
