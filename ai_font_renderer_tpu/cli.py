@@ -180,6 +180,47 @@ def cmd_fontgen(args) -> int:
     return 0
 
 
+def cmd_eval(args) -> int:
+    """Evaluate saved weights: val-split MSE + PSNR on the corpus."""
+    import json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .fontgen.dataset import split_permutation, split_sizes
+    from .train.step import eval_epoch
+    from .utils.checkpoint import load_params
+
+    if not os.path.exists(args.weights):
+        print(f"Error: weights file not found: {args.weights}")
+        return 1
+    params = load_params(args.weights)
+    mcfg = ModelConfig()
+    tcfg = TrainConfig(num_samples=args.num_samples)
+    _, ds = _build_dataset(tcfg, args.font)
+    n = ds.num_samples
+    train_size, _ = split_sizes(n, tcfg.validation_split)
+    perm = split_permutation(n, tcfg.seed)
+    val_idx = perm[train_size:].astype(np.int32)
+    b = min(1024, len(val_idx))
+    steps = len(val_idx) // b
+    idx = jnp.asarray(val_idx[: steps * b].reshape(steps, b))
+    w = jnp.ones((steps, b), jnp.float32)
+    mse = float(eval_epoch(params, ds.codes, ds.targets_u8, idx, w, mcfg))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    print(
+        json.dumps(
+            {
+                "val_mse": round(mse, 8),
+                "val_psnr_db": round(psnr, 2),
+                "val_samples": steps * b,
+                "weights": args.weights,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_render(args) -> int:
     from .render import render_strings
     from .utils.checkpoint import load_params
@@ -200,7 +241,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # The reference's bare contract first: no args, or --train (+ our
     # optional overrides). Subcommands are dispatched by their first token.
-    if argv and argv[0] in ("fontgen", "render"):
+    if argv and argv[0] in ("fontgen", "render", "eval"):
         parser = argparse.ArgumentParser(prog="afr")
         sub = parser.add_subparsers(dest="cmd", required=True)
         p_gen = sub.add_parser("fontgen", help="export dataset BMPs + data.txt")
@@ -211,8 +252,14 @@ def main(argv: list[str] | None = None) -> int:
         p_ren.add_argument("strings", nargs="*")
         p_ren.add_argument("--weights", default="font_renderer.npz")
         p_ren.add_argument("--out", default=default_output_dir())
+        p_ev = sub.add_parser("eval", help="val MSE/PSNR of saved weights")
+        p_ev.add_argument("--weights", default="font_renderer.npz")
+        p_ev.add_argument("--num-samples", type=int, default=150000)
+        p_ev.add_argument("--font", default=FIRACODE_PATH)
         args = parser.parse_args(argv)
-        return {"fontgen": cmd_fontgen, "render": cmd_render}[args.cmd](args)
+        return {"fontgen": cmd_fontgen, "render": cmd_render, "eval": cmd_eval}[
+            args.cmd
+        ](args)
 
     parser = argparse.ArgumentParser(prog="afr", add_help=True)
     parser.add_argument("--train", action="store_true")

@@ -85,3 +85,24 @@ def test_fontgen_montserrat_export(tmp_path):
     img = read_bmp(str(out / "1.bmp"))
     assert img.shape == (80, 240)
     assert (img < 0.5).any()  # proportional render has ink
+
+
+def test_eval_subcommand(tmp_path, capsys):
+    import jax, json
+
+    from ai_font_renderer_tpu.models import font_renderer
+    from ai_font_renderer_tpu.utils.checkpoint import save_params
+
+    weights = str(tmp_path / "w.npz")
+    save_params(font_renderer.init(jax.random.PRNGKey(0), ModelConfig()), weights)
+    rc = cli.main(["eval", "--weights", weights, "--num-samples", "64"])
+    assert rc == 0
+    line = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert 0 < rec["val_mse"] < 1.0
+    assert rec["val_samples"] > 0
+
+
+def test_eval_missing_weights():
+    rc = cli.main(["eval", "--weights", "/nonexistent.npz"])
+    assert rc == 1
