@@ -42,3 +42,25 @@ def test_serving_bundle_drops_f32_weights():
     served = quantize_params(params)
     assert "out_w" not in served
     assert "out_w_q" in served and "out_w_scale" in served
+
+
+def test_int8_int8_inference_close_to_f32():
+    from ai_font_renderer_tpu.ops.quantized import apply_quantized_int8
+
+    params = font_renderer.init(jax.random.PRNGKey(1), MCFG)
+    codes = jax.random.randint(jax.random.PRNGKey(2), (8, 16), 65, 91, jnp.int32)
+    full = np.asarray(font_renderer.apply(params, codes, MCFG))
+    served = quantize_params(params)
+    q = np.asarray(apply_quantized_int8(served, codes, MCFG))
+    # Both operands quantized: allow a few gray levels of drift.
+    assert np.abs(q - full).max() < 4.0 / 255.0
+    assert np.abs(q - full).mean() < 0.5 / 255.0
+
+
+def test_activation_quantization_roundtrip():
+    from ai_font_renderer_tpu.ops.quantized import quantize_activations
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (4, 64)) * 3.0
+    a_q, s = quantize_activations(x)
+    deq = a_q.astype(jnp.float32) * s[:, None]
+    assert np.abs(np.asarray(deq - x)).max() <= np.asarray(s).max() * 0.5 + 1e-6

@@ -16,7 +16,11 @@ import jax.numpy as jnp
 
 from ai_font_renderer_tpu.config import ModelConfig
 from ai_font_renderer_tpu.models import font_renderer
-from ai_font_renderer_tpu.ops.quantized import apply_quantized, quantize_params
+from ai_font_renderer_tpu.ops.quantized import (
+    apply_quantized,
+    apply_quantized_int8,
+    quantize_params,
+)
 
 
 def chain_time(fn, params, codes, iters=50, rounds=3):
@@ -57,7 +61,10 @@ def main():
     q = make_chain(lambda p, c: apply_quantized(p, c, mcfg))
     dt_q = chain_time(q, served, codes)
 
-    for tag, dt in [("bf16", dt_full), ("int8", dt_q)]:
+    q8 = make_chain(lambda p, c: apply_quantized_int8(p, c, mcfg))
+    dt_q8 = chain_time(q8, served, codes)
+
+    for tag, dt in [("bf16", dt_full), ("int8w", dt_q), ("int8x8", dt_q8)]:
         print(
             json.dumps(
                 {
