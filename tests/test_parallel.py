@@ -121,3 +121,59 @@ def test_full_train_loop_on_mesh(tiny):
     assert len(r.history) == 3
     assert np.isfinite(r.best_val_loss)
     assert r.history[-1]["train_loss"] < r.history[0]["train_loss"]
+
+
+class TestShardMapStep:
+    """Explicit-collective (pmean) DP step vs single-device equivalence."""
+
+    def _setup(self):
+        from ai_font_renderer_tpu.config import ModelConfig, TrainConfig
+
+        mcfg = ModelConfig(
+            max_length=16, hidden_dim=8, sheet_height=16, sheet_width=16,
+            dropout_rate=0.0, fc_dropout_rate=0.0, bf16_matmul=False,
+        )
+        tcfg = TrainConfig(batch_size=32, adam_mu_bf16=False)
+        key = jax.random.PRNGKey(0)
+        codes = jax.random.randint(key, (32, 16), 65, 91, jnp.int32)
+        targets = jax.random.uniform(key, (32, 16, 16))
+        return mcfg, tcfg, codes, targets, key
+
+    def test_grads_match_single_device(self):
+        from ai_font_renderer_tpu.parallel.shard_map_step import (
+            make_shard_map_train_step,
+        )
+
+        mcfg, tcfg, codes, targets, key = self._setup()
+        mesh = make_mesh(data=8, model=1)
+        lr = jnp.float32(1e-3)
+        step = make_shard_map_train_step(mesh, mcfg, tcfg)
+        s1 = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
+        s2 = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
+        s1, l1 = train_step(s1, codes, targets, lr, key, mcfg, tcfg)
+        s2, l2 = step(s2, codes, targets, lr, key)
+        # Loss: mean of per-shard means over equal shards == full-batch mean.
+        assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+        # Gradients (via Adam's first moment): f32 summation-order noise only.
+        mu1, mu2 = s1.opt_state[0].mu, s2.opt_state[0].mu
+        for n in mu1:
+            g1, g2 = np.asarray(mu1[n]), np.asarray(mu2[n])
+            scale = max(np.abs(g1).max(), 1e-12)
+            np.testing.assert_allclose(g1, g2, atol=1e-7 + 1e-5 * scale, err_msg=n)
+
+    def test_runs_with_dropout(self):
+        from ai_font_renderer_tpu.parallel.shard_map_step import (
+            make_shard_map_train_step,
+        )
+        from ai_font_renderer_tpu.config import ModelConfig, TrainConfig
+
+        mcfg = ModelConfig(max_length=16, hidden_dim=8, sheet_height=16, sheet_width=16)
+        tcfg = TrainConfig(batch_size=32)
+        key = jax.random.PRNGKey(1)
+        codes = jax.random.randint(key, (32, 16), 65, 91, jnp.int32)
+        targets = jax.random.uniform(key, (32, 16, 16))
+        mesh = make_mesh(data=4, model=1)
+        step = make_shard_map_train_step(mesh, mcfg, tcfg)
+        s = init_state(key, mcfg, tcfg)
+        s, loss = step(s, codes, targets, jnp.float32(1e-3), key)
+        assert np.isfinite(float(loss))
