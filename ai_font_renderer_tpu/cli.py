@@ -197,7 +197,7 @@ def cmd_eval(args) -> int:
     params = load_params(args.weights)
     mcfg = ModelConfig()
     tcfg = TrainConfig(num_samples=args.num_samples)
-    _, ds = _build_dataset(tcfg, args.font)
+    atlas, ds = _build_dataset(tcfg, args.font)
     n = ds.num_samples
     train_size, _ = split_sizes(n, tcfg.validation_split)
     perm = split_permutation(n, tcfg.seed)
@@ -208,12 +208,25 @@ def cmd_eval(args) -> int:
     w = jnp.ones((steps, b), jnp.float32)
     mse = float(eval_epoch(params, ds.codes, ds.targets_u8, idx, w, mcfg))
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+
+    # Render fidelity on the curated adversarial strings: model output vs
+    # the rasterizer-defined ground truth (per-pixel loss parity metric).
+    from .fontgen.dataset import synthesize_ground_truth
+    from .render import render_batch
+
+    gt = synthesize_ground_truth(atlas, TEST_STRINGS)
+    pred = render_batch(params, TEST_STRINGS, mcfg)
+    t_mse = float(np.mean((pred - gt) ** 2))
     print(
         json.dumps(
             {
                 "val_mse": round(mse, 8),
                 "val_psnr_db": round(psnr, 2),
                 "val_samples": steps * b,
+                "test_strings_mse": round(t_mse, 8),
+                "test_strings_psnr_db": round(
+                    10.0 * np.log10(1.0 / max(t_mse, 1e-12)), 2
+                ),
                 "weights": args.weights,
             }
         )

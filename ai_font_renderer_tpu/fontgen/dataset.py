@@ -205,6 +205,26 @@ def build_device_dataset_prop(
     return DeviceDataset(codes=jnp.asarray(codes), targets_u8=targets)
 
 
+def synthesize_ground_truth(atlas, strings: list[str]) -> np.ndarray:
+    """Ground-truth sheets for arbitrary strings, either atlas type.
+
+    The rasterizer-defined rendering of ``strings`` — what a perfect model
+    would output. Used for render-fidelity evaluation.
+    """
+    from .atlas import GlyphAtlas
+
+    if isinstance(atlas, GlyphAtlas):
+        grids = encode_grids(
+            strings, atlas.advance_table(), atlas.spec, atlas.n_lines, atlas.n_slots
+        )
+        from .sheets import synthesize_sheets_host
+
+        return synthesize_sheets_host(atlas, grids)
+    from .proportional import encode_prop_grids, synthesize_prop_host
+
+    return synthesize_prop_host(atlas, encode_prop_grids(strings, atlas))
+
+
 def load_string_dataset(
     data_dir: str = "train_input",
     num_samples: int = 50000,

@@ -1,6 +1,7 @@
 """Parallelism: device meshes + sharding rules (DP batch, TP output GEMM)."""
 
 from .mesh import DATA_AXIS, MODEL_AXIS, make_mesh, single_device_mesh
+from .shard_map_step import make_shard_map_train_step
 from .sharding import (
     param_shardings,
     param_spec,
@@ -16,6 +17,7 @@ __all__ = [
     "MODEL_AXIS",
     "make_mesh",
     "single_device_mesh",
+    "make_shard_map_train_step",
     "param_shardings",
     "param_spec",
     "replicate",
