@@ -114,7 +114,7 @@ def loss_fn(params: dict, char_ids, coords, targets, cfg: SirenConfig):
 
 
 @partial(jax.jit, static_argnames=("cfg", "chunk"))
-def render_atlas_chunked(params: dict, cfg: SirenConfig, chunk: int = 256):
+def render_atlas_chunked(params: dict, cfg: SirenConfig, chunk: int = 128):
     """Atlas render with bounded memory: `lax.map` over glyph chunks.
 
     Full-Unicode charsets at once would materialize [N, cell^2, hidden]
