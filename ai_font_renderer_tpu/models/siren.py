@@ -36,6 +36,10 @@ class SirenConfig:
     w0_hidden: float = 1.0
     cell: int = 64
     mode: str = "coverage"  # or "sdf"
+    # Matmul dtype for the coordinate trunk. Measured on v5e: no speedup
+    # from bf16 (13.0k vs 13.1k glyphs/s) — the render is bound by sin()
+    # transcendentals on the VPU, not the matmuls. Kept as an option.
+    compute: str = "float32"
 
 
 def init(key: jax.Array, cfg: SirenConfig = SirenConfig()) -> dict:
@@ -75,15 +79,19 @@ def apply(params: dict, char_ids: jax.Array, coords: jax.Array, cfg: SirenConfig
 
     coords are in [-1, 1]^2.
     """
+    dt = jnp.bfloat16 if cfg.compute == "bfloat16" else jnp.float32
+    mm = lambda a, b: jnp.dot(
+        a.astype(dt), b.astype(dt), preferred_element_type=jnp.float32
+    )
     emb = params["embed"][char_ids]  # [B, E]
-    h = jnp.sin(cfg.w0_first * (coords @ params["w_in"] + params["b_in"]))
+    h = jnp.sin(cfg.w0_first * (mm(coords, params["w_in"]) + params["b_in"]))
     for i in range(cfg.n_layers):
-        film = emb @ params[f"film_w_{i}"] + params[f"film_b_{i}"]  # [B, 2H]
+        film = mm(emb, params[f"film_w_{i}"]) + params[f"film_b_{i}"]  # [B, 2H]
         scale, shift = jnp.split(film, 2, axis=-1)
-        z = h @ params[f"w_{i}"] + params[f"b_{i}"]
+        z = mm(h, params[f"w_{i}"]) + params[f"b_{i}"]
         z = z * (1.0 + scale[:, None, :]) + shift[:, None, :]
         h = jnp.sin(cfg.w0_hidden * z)
-    out = (h @ params["w_out"] + params["b_out"])[..., 0]  # [B, P]
+    out = (mm(h, params["w_out"]) + params["b_out"])[..., 0]  # [B, P]
     if cfg.mode == "coverage":
         out = jax.nn.sigmoid(out)
     return out
