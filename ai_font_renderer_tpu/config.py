@@ -102,6 +102,12 @@ class TrainConfig:
     # Keep AdamW's first moment in bf16 (optax mu_dtype): halves mu traffic
     # on 123M params; second moment stays f32 for accuracy.
     adam_mu_bf16: bool = True
+    # Use the fused dW+AdamW Pallas path for the output projection
+    # (train/step.py:train_step_fused + ops/fused_dw_adamw.py): out_w's
+    # gradient never materializes in HBM. Mathematically identical to the
+    # standard step; opt-in because the measured A/B currently favors XLA
+    # (RESULTS.md).
+    fused_dw_adamw: bool = False
     # How often to log + render eval strings (model.py:349 renders every 5).
     eval_every: int = 5
     # Checkpoint every N epochs (0 = only final). The reference only saves

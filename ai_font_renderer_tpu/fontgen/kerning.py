@@ -107,10 +107,75 @@ def extract_pair_kerning(
     return pairs
 
 
+def _kern_lookup_indices(g: bytes) -> set[int] | None:
+    """Lookup indices referenced by default-on kerning features.
+
+    Resolves ScriptList -> default script (DFLT, else latn, else first) ->
+    default LangSys -> features, keeping 'kern' features plus the LangSys's
+    required feature — the set HarfBuzz applies for a plain horizontal run.
+    PairPos subtables behind optional features (cpsp capital spacing,
+    stylistic sets) are thereby excluded. Returns None when the script list
+    is absent/unresolvable (caller then scans all lookups as a fallback).
+    """
+    script_list_off = _u16(g, 4)
+    feature_list_off = _u16(g, 6)
+    if not script_list_off or not feature_list_off:
+        return None
+    script_count = _u16(g, script_list_off)
+    if not script_count:
+        return None
+    chosen = None
+    by_tag = {}
+    for i in range(script_count):
+        ro = script_list_off + 2 + 6 * i
+        tag = g[ro : ro + 4]
+        by_tag[tag] = script_list_off + _u16(g, ro + 4)
+    for tag in (b"DFLT", b"latn"):
+        if tag in by_tag:
+            chosen = by_tag[tag]
+            break
+    if chosen is None:
+        chosen = next(iter(by_tag.values()))
+    # Script table: default LangSys, else the first LangSysRecord.
+    default_ls = _u16(g, chosen)
+    if default_ls:
+        ls = chosen + default_ls
+    else:
+        if not _u16(g, chosen + 2):
+            return set()  # script with no LangSys: nothing applies
+        ls = chosen + _u16(g, chosen + 4 + 4)
+    required = _u16(g, ls + 2)
+    feat_count = _u16(g, ls + 4)
+    feature_indices = [_u16(g, ls + 6 + 2 * i) for i in range(feat_count)]
+    if required != 0xFFFF:
+        feature_indices.append(required)
+
+    lookups: set[int] = set()
+    total_features = _u16(g, feature_list_off)
+    for fi in feature_indices:
+        if fi >= total_features:
+            continue
+        ro = feature_list_off + 2 + 6 * fi
+        tag = g[ro : ro + 4]
+        if tag != b"kern" and fi != required:
+            continue
+        fo = feature_list_off + _u16(g, ro + 4)
+        n = _u16(g, fo + 2)
+        for i in range(n):
+            lookups.add(_u16(g, fo + 4 + 2 * i))
+    return lookups
+
+
 def _extract_gpos(g: bytes, pairs: dict, gid_filter=None) -> None:
     lookup_list_off = _u16(g, 8)
     lookup_count = _u16(g, lookup_list_off)
+    try:
+        kern_lookups = _kern_lookup_indices(g)
+    except (struct.error, IndexError):
+        kern_lookups = None
     for li in range(lookup_count):
+        if kern_lookups is not None and li not in kern_lookups:
+            continue
         lo = lookup_list_off + _u16(g, lookup_list_off + 2 + 2 * li)
         lookup_type = _u16(g, lo)
         subtable_count = _u16(g, lo + 4)

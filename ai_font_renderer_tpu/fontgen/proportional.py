@@ -14,11 +14,12 @@ coarse grid of stride G — and synthesis is the same gather + two static
 einsums as the monospace path, fully MXU-bound. G <= every advance
 guarantees at most one glyph per coarse slot (left edges are >= G apart).
 
-Layout parity note: measurement is the sum of advance widths. node-canvas
-shapes through Pango/HarfBuzz and may apply GPOS pair kerning, which this
-round does not; fidelity for proportional fonts is defined against this
-module's own layout (the flagship FiraCode path is monospace, where the two
-agree exactly).
+Layout parity note: measurement is the sum of advance widths PLUS GPOS pair
+kerning (fontgen/kerning.py, applied while accumulating the pen below and
+folded into G via the most-negative kern value) — matching what Pango/
+HarfBuzz applies for a plain horizontal run behind node-canvas. The
+flagship FiraCode path is monospace, where advance-sum and shaped layout
+agree exactly on the A-Z corpus.
 """
 
 from __future__ import annotations
@@ -189,6 +190,7 @@ def layout_prop_grid(text: str, atlas: PropAtlas) -> np.ndarray:
     for l, line in enumerate(lines[: atlas.n_lines]):
         pen = float(spec.padding)
         prev = None
+        prev_k = -1
         for ch in line:
             ci = adv.char_index(ch)
             if prev is not None:
@@ -203,8 +205,19 @@ def layout_prop_grid(text: str, atlas: PropAtlas) -> np.ndarray:
                 if q == Q:  # phase rounded up to the next full pixel
                     anchor, q = pen_int + 1, 0
                 k, r = divmod(anchor, G)
+                if k <= prev_k:
+                    # Slot already holds the previous glyph. Steps >= G
+                    # make this unreachable in exact arithmetic (round-up
+                    # of glyph i forces round-up of glyph i+1 whenever
+                    # their anchors could share a slot), but accumulated
+                    # fp error in `pen` can nudge glyph i+1 just under
+                    # the round-up threshold. Shift to the next slot edge
+                    # (< 1 px right, bounded by the same argument) rather
+                    # than silently dropping glyph i.
+                    k, r, q = prev_k + 1, 0, 0
                 if k < atlas.n_slots:
                     grid[l, k] = atlas.variant(ci, l, r, q)
+                    prev_k = k
             pen += atlas.advances_px[ci]
     return grid
 

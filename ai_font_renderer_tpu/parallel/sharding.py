@@ -46,19 +46,23 @@ def shard_params(mesh: Mesh, params: dict) -> dict:
 
 
 def shard_state(mesh: Mesh, state):
-    """Place a TrainState: params by rule, optimizer moments like params.
+    """Place a TrainState/FusedTrainState: params by rule, moments like params.
 
     optax states are nested tuples whose param-shaped subtrees are dicts
     keyed like ``params`` (scale_by_adam's mu/nu); those inherit the
     parameter shardings so the 123M-param moments shard with ``out_w``.
-    Everything else (step counters) replicates.
+    Everything else (step counters) replicates. FusedTrainState's explicit
+    out_w moments (mu_w/nu_w) shard exactly like out_w itself.
     """
-    from ..train.step import TrainState
+    from ..train.step import FusedTrainState, TrainState
 
     keys = set(state.params)
+    # FusedTrainState's optax state covers every param EXCEPT out_w (out_w's
+    # moments live in mu_w/nu_w); its moment dicts are keyed accordingly.
+    rest_keys = keys - {"out_w"}
 
     def go(tree):
-        if isinstance(tree, dict) and set(tree) == keys:
+        if isinstance(tree, dict) and set(tree) in (keys, rest_keys):
             return {
                 k: jax.device_put(v, NamedSharding(mesh, param_spec(k)))
                 for k, v in tree.items()
@@ -71,6 +75,15 @@ def shard_state(mesh: Mesh, state):
             return type(tree)(go(v) for v in tree)
         return jax.device_put(tree, NamedSharding(mesh, P()))
 
+    if isinstance(state, FusedTrainState):
+        w_sharding = NamedSharding(mesh, param_spec("out_w"))
+        return FusedTrainState(
+            params=shard_params(mesh, state.params),
+            opt_state=go(state.opt_state),
+            mu_w=jax.device_put(state.mu_w, w_sharding),
+            nu_w=jax.device_put(state.nu_w, w_sharding),
+            count=jax.device_put(state.count, NamedSharding(mesh, P())),
+        )
     return TrainState(shard_params(mesh, state.params), go(state.opt_state))
 
 

@@ -67,8 +67,11 @@ def train(
     (99.99% of params) shards over 'model'; GSPMD handles the collectives.
     """
     n = dataset.num_samples
-    batch_size = min(tcfg.batch_size, n)
     train_size, val_size = split_sizes(n, tcfg.validation_split)
+    # Clamp to the TRAIN split, not the dataset: with e.g. 1200 samples and
+    # batch 1024 the train split is 960 and a dataset-level clamp would make
+    # the epoch reshape fail.
+    batch_size = max(1, min(tcfg.batch_size, train_size))
     log(f"Dataset split: {train_size} training samples, {val_size} validation samples")
 
     perm = split_permutation(n, tcfg.seed)
@@ -91,13 +94,20 @@ def train(
 
     if output_dir:
         write_config_manifest(output_dir, mcfg, tcfg, batch_size, n)
-    metrics = MetricsLogger(
-        f"{output_dir}/metrics.jsonl" if output_dir else None
-    )
 
     key = jax.random.key(tcfg.seed, impl=tcfg.prng_impl)
     init_key = jax.random.PRNGKey(tcfg.seed)  # param init stays threefry
-    state = train_step_mod.init_state(init_key, mcfg, tcfg)
+    use_fused = tcfg.fused_dw_adamw
+    state = (
+        train_step_mod.init_fused_state(init_key, mcfg, tcfg)
+        if use_fused
+        else train_step_mod.init_state(init_key, mcfg, tcfg)
+    )
+    epoch_fn = (
+        train_step_mod.train_eval_epoch_fused
+        if use_fused
+        else train_step_mod.train_eval_epoch
+    )
     if mesh is not None:
         from ..parallel import shard_state
 
@@ -122,8 +132,27 @@ def train(
     ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
     start_epoch = 0
     if ckpt and resume and ckpt.latest_step() is not None:
-        step_num, tree, host = ckpt.restore()
-        state = train_step_mod.TrainState(tree["params"], _retuple(tree["opt_state"], state.opt_state))
+        step_num = ckpt.latest_step()
+        host = ckpt.host_state(step_num)
+        if host.get("format", 1) >= 2:
+            # Structure- and sharding-aware restore: the template is the
+            # freshly initialized (and, under a mesh, already sharded)
+            # state, so NamedTuples come back typed and every leaf lands
+            # directly on its mesh placement. Works for TrainState and
+            # FusedTrainState alike.
+            template = {"state": state, "best_params": state.params}
+            _, tree, _ = ckpt.restore(step_num, template=template)
+            state = tree["state"]
+            if host.get("has_best"):
+                # Restore the historical best-weights snapshot so a resumed
+                # run that never improves still returns the true best
+                # (reference semantics, model.py:344,365).
+                early.best_state = tree["best_params"]
+        else:  # legacy round-1 layout: {"params", "opt_state"}, untyped
+            _, tree, _ = ckpt.restore(step_num)
+            state = train_step_mod.TrainState(
+                tree["params"], _retuple(tree["opt_state"], state.opt_state)
+            )
         start_epoch = step_num + 1
         scheduler.lr = host["lr"]
         scheduler.best = host["scheduler_best"]
@@ -132,7 +161,16 @@ def train(
         early.counter = host["early_counter"]
         log(f"Resumed from checkpoint at epoch {step_num}")
 
+    metrics = MetricsLogger(
+        f"{output_dir}/metrics.jsonl" if output_dir else None,
+        resume=start_epoch > 0,
+    )
     shuffle_rng = np.random.default_rng(tcfg.seed + 1)
+    # Replay-consistent resume: burn the permutations epochs 0..start_epoch-1
+    # consumed so the resumed run draws the same shuffles an uninterrupted
+    # run would.
+    for _ in range(start_epoch):
+        shuffle_rng.permutation(train_size)
     history: list[dict] = []
     lr = scheduler.lr
     epoch = start_epoch - 1
@@ -154,7 +192,7 @@ def train(
             batch_idx = shard_batch_idx(mesh, batch_idx)
         epoch_key = jax.random.fold_in(key, epoch)
         # Train scan + validation pass fused into one device dispatch.
-        state, train_loss, val_loss = train_step_mod.train_eval_epoch(
+        state, train_loss, val_loss = epoch_fn(
             state,
             dataset.codes,
             dataset.targets_u8,
@@ -217,8 +255,21 @@ def train(
         ):
             ckpt.save(
                 epoch,
-                {"params": state.params, "opt_state": state.opt_state},
                 {
+                    "state": state,
+                    # Best-weights snapshot rides along so resume restores
+                    # reference best-restore semantics; falls back to the
+                    # current params when no best exists yet (has_best
+                    # tells the restore side to ignore it then).
+                    "best_params": (
+                        early.best_state
+                        if early.best_state is not None
+                        else state.params
+                    ),
+                },
+                {
+                    "format": 2,
+                    "has_best": early.best_state is not None,
                     "lr": lr,
                     "scheduler_best": scheduler.best,
                     "scheduler_bad_epochs": scheduler.num_bad_epochs,

@@ -83,14 +83,39 @@ class CheckpointManager:
         for old in self.steps()[: -self.keep]:
             shutil.rmtree(self._step_dir(old), ignore_errors=True)
 
-    def restore(self, step: int | None = None):
-        """Returns (step, tree, host_state); step=None restores the latest."""
+    def host_state(self, step: int | None = None) -> dict:
+        """Read just the JSON sidecar (cheap; no tensor IO)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        with open(os.path.join(self._step_dir(step), "host_state.json")) as f:
+            return json.load(f)
+
+    def restore(self, step: int | None = None, template=None):
+        """Returns (step, tree, host_state); step=None restores the latest.
+
+        ``template``: an example pytree (same structure as what was saved).
+        When given, the restore is structure-aware — NamedTuples (optax
+        states, TrainState) come back as their original types, and each leaf
+        is restored with the template leaf's dtype AND sharding (orbax
+        shards the read directly onto the mesh; no host-side repartition).
+        Without it, orbax returns nested dicts/lists of host arrays.
+        """
         if step is None:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
         path = self._step_dir(step)
-        tree = self._ckptr.restore(os.path.join(path, "tree"))
+        if template is not None:
+            restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+            tree = self._ckptr.restore(
+                os.path.join(path, "tree"),
+                item=template,
+                restore_args=restore_args,
+            )
+        else:
+            tree = self._ckptr.restore(os.path.join(path, "tree"))
         with open(os.path.join(path, "host_state.json")) as f:
             host_state = json.load(f)
         return step, tree, host_state

@@ -14,14 +14,17 @@ import time
 
 
 class MetricsLogger:
-    def __init__(self, path: str | None):
+    def __init__(self, path: str | None, resume: bool = False):
         self.path = path
         if path:
             d = os.path.dirname(path)
             if d:
                 os.makedirs(d, exist_ok=True)
-            # truncate any previous run's log
-            open(path, "w").close()
+            if not resume:
+                # truncate any previous run's log; resumed runs append so
+                # the prior epochs' history survives (operators poll this
+                # file on long runs — see CLAUDE.md).
+                open(path, "w").close()
 
     def log(self, **record) -> None:
         if not self.path:

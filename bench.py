@@ -69,26 +69,49 @@ def main() -> None:
     sheets_per_sec = batch * iters / dt
     glyphs_per_sec = sheets_per_sec * glyphs_per_sheet
 
-    # Secondary: fused train-step throughput at the flagship batch size.
-    from ai_font_renderer_tpu.train import init_state, train_step
+    # Secondary: train-step throughput at the flagship batch size, measured
+    # on the SAME path the real loop runs (train/loop.py): the whole-epoch
+    # `lax.scan` with device-resident data and rbg dropout keys. Per-call
+    # `train_step` adds ~1.5 ms of dispatch + host-side key folding that the
+    # production path never pays.
+    from ai_font_renderer_tpu.train import init_state, train_epoch
 
     tcfg = TrainConfig()
     state = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
     tb = tcfg.batch_size
-    tcodes = jax.random.randint(key, (tb, mcfg.max_length), 65, 91, jnp.int32)
-    ttargets = jax.random.uniform(key, (tb, mcfg.sheet_height, mcfg.sheet_width))
+    n_fake = 4 * tb
+    codes_all = jax.random.randint(
+        key, (n_fake, mcfg.max_length), 65, 91, jnp.int32
+    )
+    targets_all = jax.random.randint(
+        key, (n_fake, mcfg.sheet_height, mcfg.sheet_width), 0, 256, jnp.int32
+    ).astype(jnp.uint8)
+    steps = 20
+    batch_idx = (
+        jnp.arange(steps * tb, dtype=jnp.int32).reshape(steps, tb) % n_fake
+    )
     lr = jnp.float32(1e-3)
-    state, _ = train_step(state, tcodes, ttargets, lr, key, mcfg, tcfg)
-    jax.block_until_ready(state.params)
-    steps = 10
+    step_key = jax.random.key(1, impl=tcfg.prng_impl)
+    # Warmup/compile; the scan chains state through all `steps` batches, so
+    # the timed windows below are data-dependent end to end.
+    state, loss = train_epoch(
+        state, codes_all, targets_all, batch_idx, lr, step_key, mcfg, tcfg
+    )
+    float(loss)
     train_dt = float("inf")
-    for _ in range(2):
+    for i in range(4):  # best-of-4: the remote-tunnel runtime adds ~4% noise
         t0 = time.perf_counter()
-        for i in range(steps):
-            state, loss = train_step(
-                state, tcodes, ttargets, lr, jax.random.fold_in(key, i), mcfg, tcfg
-            )
-        float(loss)  # scalar fetch forces the chained steps
+        state, loss = train_epoch(
+            state,
+            codes_all,
+            targets_all,
+            batch_idx,
+            lr,
+            jax.random.fold_in(step_key, i),
+            mcfg,
+            tcfg,
+        )
+        float(loss)  # scalar fetch forces the chained scan
         train_dt = min(train_dt, time.perf_counter() - t0)
 
     print(

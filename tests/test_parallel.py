@@ -123,6 +123,36 @@ def test_full_train_loop_on_mesh(tiny):
     assert r.history[-1]["train_loss"] < r.history[0]["train_loss"]
 
 
+def test_mesh_checkpoint_resume(tiny, tmp_path):
+    """Checkpoint + resume with a sharded TrainState: orbax restores each
+    leaf directly onto its mesh placement (sharding-aware restore), and the
+    resumed run reproduces the uninterrupted run's losses exactly."""
+    from ai_font_renderer_tpu.config import TrainConfig
+    from ai_font_renderer_tpu.train import train
+
+    ds, mcfg, _ = tiny
+    mk = lambda epochs: TrainConfig(
+        batch_size=16, num_samples=64, num_epochs=epochs, eval_every=10,
+        checkpoint_every=1,
+    )
+    mesh = make_mesh(data=4, model=2)
+    r_full = train(
+        ds, mcfg, mk(4), mesh=mesh,
+        checkpoint_dir=str(tmp_path / "ck_full"), log=lambda *_: None,
+    )
+    ckdir = str(tmp_path / "ck")
+    train(ds, mcfg, mk(2), mesh=mesh, checkpoint_dir=ckdir,
+          log=lambda *_: None)
+    r = train(
+        ds, mcfg, mk(4), mesh=mesh, checkpoint_dir=ckdir, resume=True,
+        log=lambda *_: None,
+    )
+    assert len(r.history) == 2
+    got = [(h["train_loss"], h["val_loss"]) for h in r.history]
+    want = [(h["train_loss"], h["val_loss"]) for h in r_full.history[2:]]
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
 class TestShardMapStep:
     """Explicit-collective (pmean) DP step vs single-device equivalence."""
 

@@ -107,3 +107,44 @@ class TestKerning:
         for v in kt.pairs_px.values():
             assert abs(v) < 3.0
         assert kt.get("A", "V") < 0.0  # classic negative pair
+
+
+def test_slot_collision_guard_keeps_both_glyphs():
+    """Fp-edge regression: when the q==Q round-up leaves glyph i's anchor in
+    the slot glyph i+1's anchor also maps to (possible only through float
+    error in the accumulated pen, or an atlas whose stride exceeds a step),
+    the layout must shift glyph i+1 to the next slot rather than overwrite
+    glyph i (ADVICE round 1). Crafted atlas: stride 3 with a 2.5px advance
+    forces the collision deterministically."""
+    import numpy as np
+    from ai_font_renderer_tpu.config import SheetSpec
+    from ai_font_renderer_tpu.fontgen.proportional import (
+        PropAtlas,
+        layout_prop_grid,
+    )
+
+    atlas = PropAtlas(
+        table=np.zeros((1000, 1, 4), np.float32),
+        charset="ABC",
+        spec=SheetSpec(width=60, height=12, max_chars=20),
+        # A's 2.9375 advance puts B at the exact round-up threshold
+        # (frac 15/16 with Q=8 -> anchor 3, slot 1); B's 2.5 advance puts C
+        # at anchor 5 -> also slot 1.
+        advances_px=np.array([2.9375, 2.5, 2.5]),
+        inked=np.array([True, True, True]),
+        ink_index=np.array([0, 1, 2]),
+        kerning=None,
+        n_lines=1,
+        n_slots=20,
+        stride=3,
+        q_subpixel=8,
+        cell_h=1,
+        cell_w=4,
+        ascent_rows=0,
+        bearing_x=0,
+        y0=np.array([0]),
+    )
+    grid = layout_prop_grid("ABC", atlas)
+    placed = np.nonzero(grid[0])[0]
+    assert len(placed) == 3  # no glyph silently dropped
+    assert list(placed) == [0, 1, 2]  # C shifted to the next slot edge

@@ -173,6 +173,117 @@ def test_checkpoint_resume(tiny_setup, tmp_path):
     assert len(r2.history) == 2  # only epochs 2 and 3 ran
 
 
+def test_resume_replays_uninterrupted_run(tiny_setup, tmp_path):
+    """A 2+2-epoch resumed run reproduces an uninterrupted 4-epoch run
+    exactly: same shuffles (replayed generator), same optimizer state
+    (structure-aware restore), same per-epoch losses. Also checks that
+    metrics.jsonl is appended, not truncated, across the resume."""
+    ds, mcfg, _ = tiny_setup
+    mk = lambda epochs: TrainConfig(
+        batch_size=16, num_samples=96, num_epochs=epochs, eval_every=10,
+        checkpoint_every=1,
+    )
+    out_full = str(tmp_path / "full")
+    r_full = train(
+        ds, mcfg, mk(4), output_dir=out_full,
+        checkpoint_dir=str(tmp_path / "ck_full"), log=lambda *_: None,
+    )
+    ckdir = str(tmp_path / "ck")
+    out = str(tmp_path / "split")
+    train(ds, mcfg, mk(2), output_dir=out, checkpoint_dir=ckdir,
+          log=lambda *_: None)
+    r_resumed = train(
+        ds, mcfg, mk(4), output_dir=out, checkpoint_dir=ckdir, resume=True,
+        log=lambda *_: None,
+    )
+    full_tail = [(h["train_loss"], h["val_loss"]) for h in r_full.history[2:]]
+    resumed = [(h["train_loss"], h["val_loss"]) for h in r_resumed.history]
+    np.testing.assert_allclose(resumed, full_tail, rtol=0, atol=0)
+    assert r_resumed.best_val_loss == r_full.best_val_loss
+    # metrics.jsonl holds all 4 epochs (epochs 0-1 survived the resume).
+    lines = open(os.path.join(out, "metrics.jsonl")).read().splitlines()
+    assert [int(__import__("json").loads(l)["epoch"]) for l in lines] == [
+        0, 1, 2, 3,
+    ]
+
+
+def test_resume_restores_best_weights_snapshot(tiny_setup, tmp_path):
+    """A resumed run that runs zero further epochs must return the
+    checkpointed BEST weights, not the final-epoch weights (reference
+    best-restore semantics, model.py:344,365)."""
+    from ai_font_renderer_tpu.train.step import init_state as _init
+    from ai_font_renderer_tpu.utils.checkpoint import CheckpointManager
+
+    ds, mcfg, _ = tiny_setup
+    tcfg = TrainConfig(batch_size=16, num_samples=96, num_epochs=3)
+    state = _init(jax.random.PRNGKey(0), mcfg, tcfg)
+    best = jax.tree.map(lambda x: x + 1.0, state.params)  # distinct snapshot
+    ck = CheckpointManager(str(tmp_path / "ck"))
+    ck.save(
+        2,
+        {"state": state, "best_params": best},
+        {
+            "format": 2, "has_best": True, "lr": 1e-3,
+            "scheduler_best": 0.5, "scheduler_bad_epochs": 0,
+            "best_val_loss": 0.5, "early_counter": 0, "epoch": 2,
+        },
+    )
+    r = train(
+        ds, mcfg, tcfg, checkpoint_dir=str(tmp_path / "ck"), resume=True,
+        log=lambda *_: None,
+    )  # start_epoch=3 == num_epochs: no epochs run
+    assert r.history == []
+    for k in state.params:
+        np.testing.assert_array_equal(
+            np.asarray(r.params[k]), np.asarray(best[k])
+        )
+
+
+def test_batch_clamps_to_train_split(tiny_setup):
+    """batch_size > train split must clamp to the split, not the dataset
+    (96 samples, 80/20 split -> 76 train; batch 90 would crash the epoch
+    reshape under the old dataset-level clamp)."""
+    ds, mcfg, _ = tiny_setup
+    tcfg = TrainConfig(
+        batch_size=90, num_samples=96, num_epochs=1, checkpoint_every=0
+    )
+    r = train(ds, mcfg, tcfg, log=lambda *_: None)
+    assert np.isfinite(r.best_val_loss)
+
+
+@pytest.fixture(scope="module")
+def fused_setup():
+    # Tile-aligned geometry for the Pallas dW+AdamW kernel: flat K = 16*8 =
+    # 128, pixels N = 16*16 = 256 (see ops/fused_dw_adamw.py tile rules).
+    spec = SheetSpec(width=16, height=16, max_chars=16)
+    atlas = bake_atlas(FIRACODE_PATH, spec)
+    ds = build_device_dataset(atlas, num_samples=96, synth_batch=32)
+    mcfg = ModelConfig(
+        max_length=16, hidden_dim=8, sheet_height=16, sheet_width=16
+    )
+    return ds, mcfg
+
+
+def test_fused_loop_trains_and_resumes(fused_setup, tmp_path):
+    """End-to-end loop on the fused dW+AdamW path, including checkpoint
+    resume of FusedTrainState (mu_w/nu_w/count restored typed)."""
+    ds, mcfg = fused_setup
+    mk = lambda epochs: TrainConfig(
+        batch_size=16, num_samples=96, num_epochs=epochs,
+        fused_dw_adamw=True, adam_mu_bf16=False, checkpoint_every=1,
+        eval_every=10,
+    )
+    ckdir = str(tmp_path / "ck")
+    r1 = train(ds, mcfg, mk(2), checkpoint_dir=ckdir, log=lambda *_: None)
+    assert np.isfinite(r1.best_val_loss)
+    r2 = train(
+        ds, mcfg, mk(4), checkpoint_dir=ckdir, resume=True,
+        log=lambda *_: None,
+    )
+    assert len(r2.history) == 2  # epochs 2-3 only
+    assert r2.best_val_loss <= r1.best_val_loss
+
+
 class TestCosineSchedule:
     def test_warmup_then_decay(self):
         from ai_font_renderer_tpu.train.schedule import CosineSchedule
