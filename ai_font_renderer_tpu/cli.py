@@ -238,6 +238,21 @@ def cmd_render(args) -> int:
     from .render import render_strings
     from .utils.checkpoint import load_params
 
+    if getattr(args, "truth", False):
+        # Rasterizer ground truth with full shaping (GSUB ligatures + GPOS
+        # kerning) — what node-canvas/HarfBuzz would draw for the string
+        # (generate_font.ts:100-141), independent of any trained model.
+        from .fontgen.bmp import write_bmp
+        from .fontgen.shaped import render_shaped_sheets
+
+        strings = args.strings or TEST_STRINGS
+        sheets = render_shaped_sheets(args.font, strings)
+        os.makedirs(args.out, exist_ok=True)
+        for i, sheet in enumerate(sheets):
+            write_bmp(os.path.join(args.out, f"string_{i}.bmp"), sheet)
+        print(f"Saved {len(sheets)} shaped ground-truth strings to {args.out}/")
+        return 0
+
     if not os.path.exists(args.weights):
         print(
             f"Error: weights file not found: {args.weights}\n"
@@ -265,6 +280,13 @@ def main(argv: list[str] | None = None) -> int:
         p_ren.add_argument("strings", nargs="*")
         p_ren.add_argument("--weights", default="font_renderer.npz")
         p_ren.add_argument("--out", default=default_output_dir())
+        p_ren.add_argument(
+            "--truth",
+            action="store_true",
+            help="rasterize shaped ground truth (GSUB+GPOS) instead of "
+            "model inference",
+        )
+        p_ren.add_argument("--font", default=FIRACODE_PATH)
         p_ev = sub.add_parser("eval", help="val MSE/PSNR of saved weights")
         p_ev.add_argument("--weights", default="font_renderer.npz")
         p_ev.add_argument("--num-samples", type=int, default=150000)
