@@ -28,11 +28,22 @@ from .ttf import TrueTypeFont
 class ShapedRenderer:
     """Renders strings to sheets with full shaping for one font."""
 
-    def __init__(self, font_path: str, spec: SheetSpec | None = None):
+    def __init__(
+        self,
+        font_path: str,
+        spec: SheetSpec | None = None,
+        shape: bool = True,
+        kern: bool = True,
+    ):
+        """``shape``/``kern`` exist for ablation studies (fidelity tests
+        compare shaped vs unshaped renders against HarfBuzz output)."""
         self.spec = spec or SheetSpec()
         self.font_path = font_path
         self.font = TrueTypeFont.load(font_path)
         self.shaper = GsubShaper(self.font)
+        if not shape:
+            self.shaper.enabled = []
+        self.kern = kern
         self.scale = self.spec.font_size / self.font.units_per_em
         self._flat_cache: dict[int, np.ndarray] = {}
         self._adv_cache: dict[str, AdvanceTable] = {}
@@ -85,7 +96,7 @@ class ShapedRenderer:
             lines = wrap_text(text, adv, spec.width - 2 * spec.padding)
             runs = [self.shaper.shape(line) for line in lines]
             all_gids = set(g for run in runs for g in run)
-            kern = self._kern_pairs(all_gids) if all_gids else {}
+            kern = self._kern_pairs(all_gids) if (all_gids and self.kern) else {}
             for l, run in enumerate(runs):
                 baseline = (l + 1) * spec.line_height
                 if baseline - spec.font_size > spec.height:
