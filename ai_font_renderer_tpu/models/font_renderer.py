@@ -72,32 +72,43 @@ def param_count(params: dict) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
 
 
-def _dropout(x, rate, key, train):
+def _dropout(x, rate, key, train, bits=False):
     if not train or rate <= 0.0:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(key, keep, x.shape)
-    return jnp.where(mask, x / keep, 0.0)
+    if bits:
+        # Mask from raw uint8 PRNG bits: 4x less mask traffic than
+        # bernoulli's f32-uniform path. Keep prob quantizes to 1/256.
+        mask = jax.random.bits(key, x.shape, jnp.uint8) < int(keep * 256)
+    else:
+        mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
 
 
 def attention(params, x, cfg: ModelConfig, *, train=False, key=None):
     """Multi-head self-attention, math-equal to torch's MultiheadAttention.
 
     x: [B, S, E]. Softmax(QK^T / sqrt(E/H)) with dropout on the attention
-    probabilities (as torch applies it), then output projection.
+    probabilities (as torch applies it), then output projection. Softmax
+    statistics are f32 regardless of the activation dtype.
     """
     B, S, E = x.shape
     H = cfg.num_heads
     d = E // H
-    q = (x @ params["wq"] + params["bq"]).reshape(B, S, H, d)
-    k = (x @ params["wk"] + params["bk"]).reshape(B, S, H, d)
-    v = (x @ params["wv"] + params["bv"]).reshape(B, S, H, d)
-    logits = jnp.einsum("bshd,bthd->bhst", q, k) / jnp.sqrt(jnp.float32(d))
-    probs = jax.nn.softmax(logits, axis=-1)
+    dt = x.dtype
+    q = (x @ params["wq"].astype(dt) + params["bq"].astype(dt)).reshape(B, S, H, d)
+    k = (x @ params["wk"].astype(dt) + params["bk"].astype(dt)).reshape(B, S, H, d)
+    v = (x @ params["wv"].astype(dt) + params["bv"].astype(dt)).reshape(B, S, H, d)
+    logits = jnp.einsum(
+        "bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.float32(d))
+    probs = jax.nn.softmax(logits, axis=-1).astype(dt)
     if train:
-        probs = _dropout(probs, cfg.dropout_rate, key, train)
-    out = jnp.einsum("bhst,bthd->bshd", probs, v).reshape(B, S, E)
-    return out @ params["wo"] + params["bo"]
+        probs = _dropout(probs, cfg.dropout_rate, key, train, cfg.bits_dropout)
+    out = jnp.einsum(
+        "bhst,bthd->bshd", probs, v, preferred_element_type=jnp.float32
+    ).astype(dt).reshape(B, S, E)
+    return out @ params["wo"].astype(dt) + params["bo"].astype(dt)
 
 
 def _layer_norm(x, scale, bias, eps=1e-5):
@@ -129,18 +140,22 @@ def frontend(
         k_emb, k_attn, k_fc = jax.random.split(key, 3)
     else:
         k_emb = k_attn = k_fc = None
+    dt = jnp.bfloat16 if cfg.bf16_frontend else jnp.float32
 
-    x = params["embedding"][codes]  # [B, S, E]
-    x = _dropout(x, cfg.dropout_rate, k_emb, train)
-    x = x + params["pos"][:S]
+    x = params["embedding"].astype(dt)[codes]  # [B, S, E]
+    x = _dropout(x, cfg.dropout_rate, k_emb, train, cfg.bits_dropout)
+    x = x + params["pos"].astype(dt)[:S]
 
     attn = attention(params, x, cfg, train=train, key=k_attn)
-    x = _layer_norm(x + attn, params["ln_scale"], params["ln_bias"])
+    # LayerNorm statistics in f32 even under a bf16 frontend.
+    x = _layer_norm(
+        (x + attn).astype(jnp.float32), params["ln_scale"], params["ln_bias"]
+    ).astype(dt)
 
-    x = jax.nn.relu(x @ params["fc1_w"] + params["fc1_b"])  # [B, S, hidden]
-    x = _dropout(x, cfg.fc_dropout_rate, k_fc, train)
+    x = jax.nn.relu(x @ params["fc1_w"].astype(dt) + params["fc1_b"].astype(dt))
+    x = _dropout(x, cfg.fc_dropout_rate, k_fc, train, cfg.bits_dropout)
 
-    flat = x.reshape(B, S * cfg.hidden_dim)
+    flat = x.astype(jnp.float32).reshape(B, S * cfg.hidden_dim)
     full = cfg.max_length * cfg.hidden_dim
     if flat.shape[1] < full:  # zero-pad short sequences (model.py:190-193)
         flat = jnp.pad(flat, ((0, 0), (0, full - flat.shape[1])))

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: fused  dW = X^T @ (g*mask)  +  AdamW update of W.
+"""Pallas TPU kernel: fused  dW = X^T @ gm  +  AdamW update of W.
 
 Motivation (measured, RESULTS.md): the train step's fwd+bwd runs at ~5.4 ms
 but the optimizer costs ~10 ms — pure HBM traffic over the 123M-param
@@ -8,13 +8,20 @@ This kernel computes each dW tile on the MXU and applies AdamW to the
 corresponding (w, mu, nu) tiles while the gradient tile is still in VMEM —
 dW never exists in HBM, saving ~1 GB of traffic per step.
 
-Status (v5e, measured A/B at B=1024): 20 ms vs 14.8 ms for the standard
-step — a NEGATIVE result at these shapes. The (k, n) tiling must re-stream
-g/out once per K-tile (25x158 MB) and x once per N-tile (50x26 MB), ~3 GB of
-extra reads that outweigh the saved dW round trip; the optimizer-state
-traffic (2.5 GB r+w) is irreducible either way. The kernel stays available
-(and exactly equivalent, see tests/test_fused_step.py) as the base for a
-larger-VMEM-tile revision; the default path remains XLA.
+Round-1 version was a measured NEGATIVE (20 vs 14.8 ms): it took f32 g plus
+the saved forward output as the mask source and tiled (bk=256, bn=384), so
+the (k, n) grid re-streamed ~5.3 GB (g AND out once per K-tile, x once per
+N-tile). Round-2 revision per the ROADMAP analysis:
+
+  * inputs are bf16 and PRE-MASKED: the caller already materializes the
+    masked gradient `gm` for the dX GEMM and the bf16 activations for the
+    forward GEMM, so passing them here is free — halves both streams and
+    removes the `out` mask stream entirely;
+  * larger K tiles (bk=640 at flagship shapes; VMEM caps the product) cut
+    the gm re-stream to K/bk=10 passes (393 MB) and the bf16 x stream to
+    N/bn=50 x 13 MB (655 MB) — ~1 GB vs 5.3 GB;
+  * optimizer-state traffic (w/mu/nu read+write ~2.5 GB) is irreducible
+    and the same for both paths.
 
 Math is exactly the framework's AdamW (torch-parity, model.py:273):
 
@@ -23,8 +30,8 @@ Math is exactly the framework's AdamW (torch-parity, model.py:273):
     w   <- w - lr * (mu_hat / (sqrt(nu_hat) + eps) + wd*w),
            mu_hat = mu/(1-b1^t), nu_hat = nu/(1-b2^t)
 
-The clamp mask (grad passes where 0 < out < 1) is fused from the saved
-forward output, so the masked gradient tensor is never materialized either.
+dW is computed in bf16 x bf16 -> f32 MXU dots — the identical precision the
+standard XLA path uses for its dW GEMM under ``bf16_matmul`` (train/step.py).
 
 Grid: (K/bk, N/bn, M/bm) with the M-contraction innermost; w/mu/nu blocks
 have M-independent index maps so Pallas keeps them resident across the
@@ -47,9 +54,8 @@ def _cdiv(a: int, b: int) -> int:
 
 def _kernel(
     scalars_ref,  # SMEM [6]: lr, wd, b1, b2, c1=1/(1-b1^t), c2=1/(1-b2^t)
-    x_ref,  # [bm, bk] block of X [M, K]
-    g_ref,  # [bm, bn] block of upstream grad [M, N]
-    out_ref,  # [bm, bn] block of saved clamped output [M, N]
+    x_ref,  # [bm, bk] block of X [M, K] (bf16)
+    g_ref,  # [bm, bn] block of MASKED upstream grad [M, N] (bf16)
     w_ref,  # [bk, bn] block of W (in/out via aliasing)
     mu_ref,  # [bk, bn] block of mu (in/out)
     nu_ref,  # [bk, bn] block of nu (in/out)
@@ -67,11 +73,9 @@ def _kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    o = out_ref[:]
-    gm = jnp.where((o > 0.0) & (o < 1.0), g_ref[:], 0.0)
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:].astype(jnp.bfloat16),
-        gm.astype(jnp.bfloat16),
+        x_ref[:],
+        g_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),  # contract M
         preferred_element_type=jnp.float32,
     )
@@ -96,9 +100,8 @@ def _kernel(
 
 
 def fused_dw_adamw(
-    x: jax.Array,  # [M, K] f32 activations
-    g: jax.Array,  # [M, N] f32 upstream gradient (unmasked)
-    out: jax.Array,  # [M, N] f32 saved clamped output (mask source)
+    x: jax.Array,  # [M, K] bf16 (or f32) activations
+    gm: jax.Array,  # [M, N] bf16 (or f32) MASKED upstream gradient
     w: jax.Array,  # [K, N] f32
     mu: jax.Array,  # [K, N] f32 or bf16
     nu: jax.Array,  # [K, N] f32
@@ -109,7 +112,7 @@ def fused_dw_adamw(
     count: jax.Array,  # int32 step count AFTER increment (t)
     eps: float = 1e-8,
     bm: int = 256,
-    bk: int = 256,
+    bk: int = 640,
     bn: int = 384,
     interpret: bool | None = None,
 ):
@@ -120,13 +123,17 @@ def fused_dw_adamw(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    x = x.astype(jnp.bfloat16)
+    gm = gm.astype(jnp.bfloat16)
     m, k = x.shape
-    _, n = g.shape
+    _, n = gm.shape
     bm, bk, bn = min(bm, m), min(bk, k), min(bn, n)
     if m % bm or k % bk or n % bn:
-        raise ValueError(
-            f"shapes ({m},{k},{n}) must divide tiles ({bm},{bk},{bn})"
-        )
+        # Fall back to the largest dividing tile (shapes in tests are small
+        # powers of two; flagship shapes divide the defaults exactly).
+        bk = next(t for t in (bk, 512, 256, 128, k) if k % t == 0)
+        bn = next(t for t in (bn, 512, 384, 256, 128, n) if n % t == 0)
+        bm = next(t for t in (bm, 128, 64, m) if m % t == 0)
     t = count.astype(jnp.float32)
     c1 = 1.0 / (1.0 - b1**t)
     c2 = 1.0 / (1.0 - b2**t)
@@ -147,7 +154,7 @@ def fused_dw_adamw(
         jax.ShapeDtypeStruct(mu.shape, mu.dtype),
         jax.ShapeDtypeStruct(nu.shape, nu.dtype),
     )
-    kn_spec = lambda dtype=None: pl.BlockSpec(
+    kn_spec = lambda: pl.BlockSpec(
         (bk, bn), lambda i, j, mm: (i, j), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
@@ -157,7 +164,6 @@ def fused_dw_adamw(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
             pl.BlockSpec((bm, bk), lambda i, j, mm: (mm, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, bn), lambda i, j, mm: (mm, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, bn), lambda i, j, mm: (mm, j), memory_space=pltpu.VMEM),
             kn_spec(),
             kn_spec(),
             kn_spec(),
@@ -165,14 +171,16 @@ def fused_dw_adamw(
         out_specs=(kn_spec(), kn_spec(), kn_spec()),
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((bk, bn), jnp.float32)],
-        input_output_aliases={4: 0, 5: 1, 6: 2},  # w->new_w, mu->new_mu, nu->new_nu
+        input_output_aliases={3: 0, 4: 1, 5: 2},  # w->new_w, mu->new_mu, nu->new_nu
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
-            bytes_accessed=m * k * 2 + 2 * m * n * 4 + 3 * k * n * 4 * 2,
+            bytes_accessed=(n // bn) * m * k * 2
+            + (k // bk) * m * n * 2
+            + 2 * k * n * (4 + 4 + mu.dtype.itemsize),
             transcendentals=0,
         ),
-    )(scalars, x, g, out, w, mu, nu)
+    )(scalars, x, gm, w, mu, nu)

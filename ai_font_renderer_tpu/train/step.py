@@ -135,9 +135,10 @@ def _fused_step(state: FusedTrainState, codes, targets, lr, key, mcfg, tcfg):
 
     flat, vjp = jax.vjp(front, rest)
     dt = jnp.bfloat16 if mcfg.bf16_matmul else jnp.float32
+    flat_dt = flat.astype(dt)
     pre = (
         jnp.dot(
-            flat.astype(dt),
+            flat_dt,
             params["out_w"].astype(dt),
             preferred_element_type=jnp.float32,
         )
@@ -147,10 +148,11 @@ def _fused_step(state: FusedTrainState, codes, targets, lr, key, mcfg, tcfg):
     tflat = targets.reshape(targets.shape[0], -1).astype(jnp.float32)
     d = out - tflat
     loss = jnp.mean(d * d)
-    g = (2.0 / d.size) * d  # dL/dout, unmasked (kernel + dflat mask below)
+    g = (2.0 / d.size) * d  # dL/dout, unmasked
     gm = jnp.where((out > 0.0) & (out < 1.0), g, 0.0)
+    gm_dt = gm.astype(dt)  # shared by the dX GEMM and the fused dW kernel
     dflat = jnp.dot(
-        gm.astype(dt), params["out_w"].T.astype(dt), preferred_element_type=jnp.float32
+        gm_dt, params["out_w"].T.astype(dt), preferred_element_type=jnp.float32
     )
     (grads_rest,) = vjp(dflat)
     grads_rest = dict(grads_rest)
@@ -162,12 +164,13 @@ def _fused_step(state: FusedTrainState, codes, targets, lr, key, mcfg, tcfg):
     updates = jax.tree.map(lambda u: lr * u, updates)
     new_rest = optax.apply_updates(rest, updates)
 
-    # out_w (122.9M params): fused dW GEMM + AdamW, no HBM gradient.
+    # out_w (122.9M params): fused dW GEMM + AdamW, no HBM gradient. The
+    # bf16 masked gradient and bf16 activations are the SAME tensors the
+    # fwd/dX GEMMs consume, so the kernel streams half the round-1 bytes.
     count = state.count + 1
     new_w, new_mu, new_nu = fused_dw_adamw(
-        flat,
-        g,
-        out,
+        flat_dt,
+        gm_dt,
         params["out_w"],
         state.mu_w,
         state.nu_w,

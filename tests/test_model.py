@@ -102,3 +102,34 @@ def test_attention_mixes_positions(params, cfg):
     a = font_renderer.apply(params, base, cfg)
     b = font_renderer.apply(params, mod, cfg)
     assert float(jnp.abs(a - b).sum()) > 0
+
+
+def test_bf16_frontend_close_to_f32():
+    """bf16 frontend is a speed profile: outputs stay within bf16 rounding
+    of the f32 parity path (inference, no dropout)."""
+    import jax, jax.numpy as jnp, numpy as np
+    from ai_font_renderer_tpu.config import ModelConfig
+    from ai_font_renderer_tpu.models import font_renderer
+
+    mcfg32 = ModelConfig(max_length=24, sheet_height=16, sheet_width=48)
+    mcfg16 = ModelConfig(
+        max_length=24, sheet_height=16, sheet_width=48, bf16_frontend=True
+    )
+    params = font_renderer.init(jax.random.PRNGKey(0), mcfg32)
+    codes = jax.random.randint(jax.random.PRNGKey(1), (8, 24), 65, 91, jnp.int32)
+    o32 = font_renderer.apply(params, codes, mcfg32, train=False)
+    o16 = font_renderer.apply(params, codes, mcfg16, train=False)
+    assert float(jnp.abs(o32 - o16).max()) < 0.05
+    assert float(jnp.abs(o32 - o16).mean()) < 0.005
+
+
+def test_bits_dropout_trains():
+    """bits_dropout keeps ~keep fraction and zeroes the rest (scaled)."""
+    import jax, jax.numpy as jnp
+    from ai_font_renderer_tpu.models.font_renderer import _dropout
+
+    x = jnp.ones((1000, 100))
+    y = _dropout(x, 0.2, jax.random.PRNGKey(0), True, bits=True)
+    kept = float((y > 0).mean())
+    assert abs(kept - 0.796875) < 0.02  # keep prob quantized to 204/256
+    assert float(y.max()) == 1.25  # scaled by 1/keep
