@@ -77,6 +77,12 @@ class ModelConfig:
     # instead of bernoulli-over-f32-uniform: 4x less mask traffic, keep
     # probability quantized to 1/256 (0.8 -> 0.796875). Measured -0.6 ms.
     bits_dropout: bool = False
+    # Fuse the whole attention block (q/k/v proj + softmax + prob dropout +
+    # PV + out proj) into one Pallas kernel per batch tile — logits/probs
+    # never touch HBM, dropout bits come from the in-kernel TPU PRNG
+    # (ops/fused_attention.py). Requires batch % 128 == 0 (falls back to
+    # the XLA path otherwise). Pairs best with bf16_frontend.
+    fused_attention: bool = False
 
 
 @dataclass(frozen=True)

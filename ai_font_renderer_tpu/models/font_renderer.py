@@ -146,7 +146,24 @@ def frontend(
     x = _dropout(x, cfg.dropout_rate, k_emb, train, cfg.bits_dropout)
     x = x + params["pos"].astype(dt)[:S]
 
-    attn = attention(params, x, cfg, train=train, key=k_attn)
+    if cfg.fused_attention and B % 128 == 0:
+        from ..ops.fused_attention import fused_attention as _fa
+
+        rate = cfg.dropout_rate if train else 0.0
+        if train:
+            seed = (
+                jax.random.bits(k_attn, (), jnp.uint32) & jnp.uint32(0x7FFFFFFF)
+            ).astype(jnp.int32)
+        else:
+            seed = jnp.int32(0)
+        weights = {
+            k: params[k]
+            for k in ("wq", "wk", "wv", "wo", "bq", "bk", "bv", "bo")
+        }
+        interp = jax.default_backend() != "tpu"
+        attn = _fa(cfg.num_heads, rate, 128, interp, x, weights, seed)
+    else:
+        attn = attention(params, x, cfg, train=train, key=k_attn)
     # LayerNorm statistics in f32 even under a bf16 frontend.
     x = _layer_norm(
         (x + attn).astype(jnp.float32), params["ln_scale"], params["ln_bias"]
