@@ -56,8 +56,12 @@ def default_output_dir() -> str:
     return "train_output_" + datetime.datetime.now().strftime("%m_%d_%H_%M_%S")
 
 
-def _build_dataset(tcfg: TrainConfig, font: str):
-    """Build the device dataset, dispatching monospace vs proportional."""
+def _build_dataset(tcfg: TrainConfig, font: str, subset=None):
+    """Build the device dataset, dispatching monospace vs proportional.
+
+    ``subset``: synthesize only these corpus indices (monospace path; the
+    proportional path synthesizes per-chunk and slices after).
+    """
     from .fontgen.ttf import TrueTypeFont
     from .config import PRINTABLE_ASCII
 
@@ -69,13 +73,21 @@ def _build_dataset(tcfg: TrainConfig, font: str):
         from .fontgen.dataset import build_device_dataset
 
         atlas = bake_atlas(font)
-        ds = build_device_dataset(atlas, tcfg.num_samples)
+        ds = build_device_dataset(atlas, tcfg.num_samples, subset=subset)
     else:
         from .fontgen.proportional import bake_prop_atlas
         from .fontgen.dataset import build_device_dataset_prop
 
         atlas = bake_prop_atlas(font)
         ds = build_device_dataset_prop(atlas, tcfg.num_samples)
+        if subset is not None:
+            from .fontgen.dataset import DeviceDataset
+            import jax.numpy as _jnp
+
+            sub = _jnp.asarray(subset)
+            ds = DeviceDataset(
+                codes=ds.codes[sub], targets_u8=ds.targets_u8[sub]
+            )
     return atlas, ds
 
 
@@ -197,14 +209,16 @@ def cmd_eval(args) -> int:
     params = load_params(args.weights)
     mcfg = ModelConfig()
     tcfg = TrainConfig(num_samples=args.num_samples)
-    atlas, ds = _build_dataset(tcfg, args.font)
-    n = ds.num_samples
+    # Synthesize ONLY the val split (the same 20% the training split_
+    # permutation defines) — 5x less synthesis than rebuilding the corpus.
+    n = tcfg.num_samples
     train_size, _ = split_sizes(n, tcfg.validation_split)
     perm = split_permutation(n, tcfg.seed)
     val_idx = perm[train_size:].astype(np.int32)
-    b = min(1024, len(val_idx))
-    steps = len(val_idx) // b
-    idx = jnp.asarray(val_idx[: steps * b].reshape(steps, b))
+    atlas, ds = _build_dataset(tcfg, args.font, subset=val_idx)
+    b = min(1024, ds.num_samples)
+    steps = ds.num_samples // b
+    idx = jnp.arange(steps * b, dtype=jnp.int32).reshape(steps, b)
     w = jnp.ones((steps, b), jnp.float32)
     mse = float(eval_epoch(params, ds.codes, ds.targets_u8, idx, w, mcfg))
     psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))

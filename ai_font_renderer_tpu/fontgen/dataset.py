@@ -135,16 +135,25 @@ def build_device_dataset(
     synth_batch: int = 4096,
     cache_dir: str | None = None,
     dtype=None,
+    subset: np.ndarray | None = None,
 ) -> DeviceDataset:
     """Corpus -> device tensors, synthesizing all targets on-device once.
 
     Synthesis runs in f32/HIGHEST by default: the dataset definition is
     bit-exact against the numpy oracle and the BMP export contract on every
     backend (it runs once per corpus, so the 2x bf16 speedup is irrelevant).
+
+    ``subset``: optional index array into the ``num_samples`` corpus —
+    layouts are computed (cheap, cached) for the full corpus so sample i is
+    identical whatever the subset, but only ``subset`` rows are synthesized
+    and kept on device. Lets ``afr eval`` build just the 20% val split.
     """
     import jax.numpy as _jnp
 
     codes, grids = build_layouts(atlas, num_samples, base_seed, cache_dir)
+    if subset is not None:
+        codes = codes[subset]
+        grids = grids[subset]
     ops = make_synth_ops(atlas, dtype or _jnp.float32)
 
     @jax.jit

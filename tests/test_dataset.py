@@ -90,3 +90,26 @@ def test_montserrat_device_dataset():
     assert got == want[:100].rstrip("\x00")
     # Sheets contain ink and differ from the FiraCode rendering.
     assert float(targets.min()) < 0.5
+
+
+def test_subset_build_matches_full_dataset():
+    """build_device_dataset(subset=...) must produce exactly the same
+    codes/targets as slicing the full build — sample identity is defined by
+    the full-corpus layout, not the subset (afr eval fast path)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ai_font_renderer_tpu.config import FIRACODE_PATH, SheetSpec
+    from ai_font_renderer_tpu.fontgen import bake_atlas
+    from ai_font_renderer_tpu.fontgen.dataset import build_device_dataset
+
+    spec = SheetSpec(width=60, height=20, max_chars=24)
+    atlas = bake_atlas(FIRACODE_PATH, spec)
+    full = build_device_dataset(atlas, 48, synth_batch=16)
+    sub_idx = np.array([3, 7, 11, 40, 47], np.int32)
+    sub = build_device_dataset(atlas, 48, synth_batch=16, subset=sub_idx)
+    np.testing.assert_array_equal(
+        np.asarray(sub.codes), np.asarray(full.codes)[sub_idx]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sub.targets_u8), np.asarray(full.targets_u8)[sub_idx]
+    )
