@@ -278,12 +278,41 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """Run the batched render server (render/server.py) until interrupted."""
+    import time
+
+    from .render.server import RenderServer
+    from .utils.checkpoint import load_params
+
+    if not os.path.exists(args.weights):
+        print(f"Error: weights file not found: {args.weights}")
+        return 1
+    params = load_params(args.weights)
+    server = RenderServer(
+        params,
+        ModelConfig(),
+        socket_path=args.socket,
+        batch_size=args.batch_size,
+    )
+    server.start()
+    print(f"Render server listening on {args.socket} (batch {args.batch_size})")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
 
     # The reference's bare contract first: no args, or --train (+ our
     # optional overrides). Subcommands are dispatched by their first token.
-    if argv and argv[0] in ("fontgen", "render", "eval"):
+    if argv and argv[0] in ("fontgen", "render", "eval", "serve"):
         parser = argparse.ArgumentParser(prog="afr")
         sub = parser.add_subparsers(dest="cmd", required=True)
         p_gen = sub.add_parser("fontgen", help="export dataset BMPs + data.txt")
@@ -305,10 +334,19 @@ def main(argv: list[str] | None = None) -> int:
         p_ev.add_argument("--weights", default="font_renderer.npz")
         p_ev.add_argument("--num-samples", type=int, default=150000)
         p_ev.add_argument("--font", default=FIRACODE_PATH)
+        p_srv = sub.add_parser(
+            "serve", help="batched render server on a unix socket"
+        )
+        p_srv.add_argument("--weights", default="font_renderer.npz")
+        p_srv.add_argument("--socket", default="/tmp/afr.sock")
+        p_srv.add_argument("--batch-size", type=int, default=64)
         args = parser.parse_args(argv)
-        return {"fontgen": cmd_fontgen, "render": cmd_render, "eval": cmd_eval}[
-            args.cmd
-        ](args)
+        return {
+            "fontgen": cmd_fontgen,
+            "render": cmd_render,
+            "eval": cmd_eval,
+            "serve": cmd_serve,
+        }[args.cmd](args)
 
     parser = argparse.ArgumentParser(prog="afr", add_help=True)
     parser.add_argument("--train", action="store_true")

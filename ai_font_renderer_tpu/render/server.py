@@ -1,0 +1,213 @@
+"""Batched render server: many clients, fixed-shape device batches.
+
+The reference's inference story is a Python loop writing BMPs
+(helpers.py:46-74) — one sheet per device call. This server is the
+production-serving counterpart (ROADMAP "batched render server"): clients
+connect over a Unix socket, requests accumulate in a queue while the device
+is busy, and a single dispatcher thread drains them into FIXED-SIZE padded
+batches (one compiled XLA program, no shape-driven recompiles) — classic
+dynamic batching. Double buffering falls out of the architecture: the
+dispatcher encodes/pads batch N+1 on the host while batch N runs on device.
+
+Protocol (length-prefixed, stdlib-only):
+  request : uint32 BE length + UTF-8 JSON {"strings": [...], "format": "raw"|"bmp"}
+  response: uint32 BE length + JSON header {"count", "height", "width",
+            "format"} then, per string: raw uint8 H*W bytes (format=raw) or
+            uint32 BE length + BMP file bytes (format=bmp).
+
+Run: `afr serve --weights font_renderer.npz --socket /tmp/afr.sock`
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import socket
+import socketserver
+import struct
+import threading
+
+import numpy as np
+
+from ..config import ModelConfig
+
+
+class _Batcher:
+    """Queue of (strings, reply_fn); drains into fixed-size device batches."""
+
+    def __init__(self, params, mcfg: ModelConfig, batch_size: int = 64):
+        from . import render  # local import: jax only when serving
+
+        self._render = render.render_batch
+        self.params = params
+        self.mcfg = mcfg
+        self.batch_size = batch_size
+        self.q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self):
+        # Warm the compiled shape once so first clients don't pay compile.
+        self._render(
+            self.params, [""] * self.batch_size, self.mcfg
+        )
+        self.thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self.q.put(None)
+        self.thread.join(timeout=5)
+
+    def submit(self, strings: list[str], reply):
+        self.q.put((strings, reply))
+
+    def _loop(self):
+        while not self._stop.is_set():
+            item = self.q.get()
+            if item is None:
+                continue
+            # Coalesce: take everything pending, chunk to batch_size.
+            pending = [item]
+            try:
+                while True:
+                    nxt = self.q.get_nowait()
+                    if nxt is not None:
+                        pending.append(nxt)
+            except queue.Empty:
+                pass
+            flat: list[str] = []
+            spans = []  # (start, count, reply)
+            for strings, reply in pending:
+                spans.append((len(flat), len(strings), reply))
+                flat.extend(strings)
+            sheets = np.empty(
+                (len(flat), self.mcfg.sheet_height, self.mcfg.sheet_width),
+                np.float32,
+            )
+            for start in range(0, len(flat), self.batch_size):
+                chunk = flat[start : start + self.batch_size]
+                padded = chunk + [""] * (self.batch_size - len(chunk))
+                out = self._render(self.params, padded, self.mcfg)
+                sheets[start : start + len(chunk)] = out[: len(chunk)]
+            for start, count, reply in spans:
+                try:
+                    reply(sheets[start : start + count])
+                except (BrokenPipeError, ConnectionError, OSError):
+                    pass  # client went away; keep serving others
+
+
+def _send_msg(sock, payload: bytes):
+    sock.sendall(struct.pack(">I", len(payload)) + payload)
+
+
+def _recv_exact(sock, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        part = sock.recv(n - len(buf))
+        if not part:
+            return None
+        buf += part
+    return buf
+
+
+def _recv_msg(sock) -> bytes | None:
+    head = _recv_exact(sock, 4)
+    if head is None:
+        return None
+    (length,) = struct.unpack(">I", head)
+    if length > 16 << 20:
+        raise ValueError(f"oversized request: {length} bytes")
+    return _recv_exact(sock, length)
+
+
+class RenderServer:
+    def __init__(
+        self,
+        params: dict,
+        mcfg: ModelConfig = ModelConfig(),
+        socket_path: str = "/tmp/afr.sock",
+        batch_size: int = 64,
+    ):
+        self.socket_path = socket_path
+        self.batcher = _Batcher(params, mcfg, batch_size)
+        self.mcfg = mcfg
+        self._server: socketserver.ThreadingUnixStreamServer | None = None
+
+    def start(self):
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+        self.batcher.start()
+        batcher, mcfg = self.batcher, self.mcfg
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self):
+                while True:
+                    raw = _recv_msg(self.request)
+                    if raw is None:
+                        return
+                    req = json.loads(raw)
+                    strings = [str(s) for s in req.get("strings", [])]
+                    fmt = req.get("format", "raw")
+                    done = threading.Event()
+
+                    def reply(sheets, sock=self.request, fmt=fmt, done=done):
+                        header = json.dumps(
+                            {
+                                "count": len(sheets),
+                                "height": mcfg.sheet_height,
+                                "width": mcfg.sheet_width,
+                                "format": fmt,
+                            }
+                        ).encode()
+                        _send_msg(sock, header)
+                        if fmt == "bmp":
+                            from ..fontgen.bmp import encode_bmp
+
+                            for sheet in sheets:
+                                _send_msg(sock, encode_bmp(sheet))
+                        else:
+                            u8 = (
+                                np.round(np.clip(sheets, 0, 1) * 255)
+                                .astype(np.uint8)
+                                .tobytes()
+                            )
+                            sock.sendall(u8)
+                        done.set()
+
+                    batcher.submit(strings, reply)
+                    done.wait(timeout=60)
+
+        self._server = socketserver.ThreadingUnixStreamServer(
+            self.socket_path, Handler
+        )
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def stop(self):
+        if self._server:
+            self._server.shutdown()
+            self._server.server_close()
+        self.batcher.stop()
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+
+
+def request_render(
+    socket_path: str, strings: list[str], fmt: str = "raw"
+):
+    """Client helper: returns (header dict, [payload bytes per string])."""
+    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+        s.connect(socket_path)
+        _send_msg(s, json.dumps({"strings": strings, "format": fmt}).encode())
+        header = json.loads(_recv_msg(s))
+        if fmt == "bmp":
+            payloads = [_recv_msg(s) for _ in range(header["count"])]
+        else:
+            n = header["count"] * header["height"] * header["width"]
+            blob = _recv_exact(s, n)
+            hw = header["height"] * header["width"]
+            payloads = [blob[i * hw : (i + 1) * hw] for i in range(header["count"])]
+        return header, payloads

@@ -1,0 +1,84 @@
+"""Batched render server: protocol, dynamic batching, concurrent clients."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from ai_font_renderer_tpu.config import ModelConfig
+from ai_font_renderer_tpu.models import font_renderer
+from ai_font_renderer_tpu.render.server import RenderServer, request_render
+
+MCFG = ModelConfig(max_length=16, sheet_height=16, sheet_width=48)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    params = font_renderer.init(jax.random.PRNGKey(0), MCFG)
+    sock = str(tmp_path_factory.mktemp("srv") / "afr.sock")
+    srv = RenderServer(params, MCFG, socket_path=sock, batch_size=8)
+    srv.start()
+    yield srv, sock, params
+    srv.stop()
+
+
+def test_raw_roundtrip_matches_direct_render(server):
+    srv, sock, params = server
+    from ai_font_renderer_tpu.render.render import render_batch
+
+    strings = ["HELLO", "WORLD", ""]
+    header, payloads = request_render(sock, strings)
+    assert header["count"] == 3
+    assert (header["height"], header["width"]) == (16, 48)
+    direct = render_batch(params, strings, MCFG)
+    for i, p in enumerate(payloads):
+        got = np.frombuffer(p, np.uint8).reshape(16, 48) / 255.0
+        want = np.round(np.clip(direct[i], 0, 1) * 255) / 255.0
+        np.testing.assert_allclose(got, want, atol=1 / 255 + 1e-6)
+
+
+def test_bmp_format(server):
+    _, sock, _ = server
+    from ai_font_renderer_tpu.fontgen.bmp import read_bmp
+
+    header, payloads = request_render(sock, ["ABC"], fmt="bmp")
+    assert header["format"] == "bmp"
+    img = read_bmp(payloads[0])
+    assert img.shape == (16, 48)
+
+
+def test_oversized_request_batches_in_chunks(server):
+    """More strings than batch_size must still come back, in order."""
+    srv, sock, params = server
+    strings = [f"S{i}" for i in range(20)]  # batch_size is 8
+    header, payloads = request_render(sock, strings)
+    assert header["count"] == 20
+    from ai_font_renderer_tpu.render.render import render_batch
+
+    direct = render_batch(params, strings, MCFG)
+    got = np.frombuffer(payloads[7], np.uint8).reshape(16, 48) / 255.0
+    np.testing.assert_allclose(
+        got, np.round(np.clip(direct[7], 0, 1) * 255) / 255.0, atol=1 / 255 + 1e-6
+    )
+
+
+def test_concurrent_clients(server):
+    _, sock, _ = server
+    results = {}
+    errors = []
+
+    def client(i):
+        try:
+            header, payloads = request_render(sock, [f"CLIENT {i}"])
+            results[i] = (header["count"], len(payloads[0]))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errors
+    assert all(results[i] == (1, 16 * 48) for i in range(6))
