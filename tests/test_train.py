@@ -306,3 +306,27 @@ class TestCosineSchedule:
         lrs = [h["lr"] for h in r.history]
         assert lrs[0] == pytest.approx(2e-3)
         assert lrs[-1] < lrs[1]  # decaying after warmup
+
+
+def test_tensorboard_exporter(tmp_path):
+    """metrics.jsonl -> TB event files (tools/metrics_to_tensorboard.py)."""
+    pytest.importorskip("torch.utils.tensorboard")
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from metrics_to_tensorboard import export
+
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "metrics.jsonl", "w") as f:
+        for e in range(3):
+            f.write(
+                json.dumps(
+                    {"epoch": e, "train_loss": 1.0 / (e + 1), "lr": 1e-3}
+                )
+                + "\n"
+            )
+    out = export(str(run))
+    events = [p for p in os.listdir(out) if p.startswith("events.out")]
+    assert events, "no event file written"
