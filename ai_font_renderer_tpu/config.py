@@ -80,9 +80,16 @@ class ModelConfig:
     # Fuse the whole attention block (q/k/v proj + softmax + prob dropout +
     # PV + out proj) into one Pallas kernel per batch tile — logits/probs
     # never touch HBM, dropout bits come from the in-kernel TPU PRNG
-    # (ops/fused_attention.py). Requires batch % 128 == 0 (falls back to
-    # the XLA path otherwise). Pairs best with bf16_frontend.
+    # (ops/fused_attention.py). Requires batch % fused_attention_tile == 0
+    # (falls back to the XLA path otherwise). Pairs best with bf16_frontend.
     fused_attention: bool = False
+    # Batch rows per kernel invocation, shared by the forward and backward
+    # kernels (the dropout mask is regenerated per (tile, head), so the
+    # grids must match). VMEM-bound: the [tile, S, S] f32 logits/probs live
+    # on the kernel stack — measured scoped-vmem on v5e at S=100: fwd 91 MB
+    # at tile 128, bwd 31.6 MB at tile 16, vs a 16 MB limit. Tile 8 fits
+    # both directions.
+    fused_attention_tile: int = 8
 
 
 @dataclass(frozen=True)

@@ -146,7 +146,7 @@ def frontend(
     x = _dropout(x, cfg.dropout_rate, k_emb, train, cfg.bits_dropout)
     x = x + params["pos"].astype(dt)[:S]
 
-    if cfg.fused_attention and B % 128 == 0:
+    if cfg.fused_attention and B % cfg.fused_attention_tile == 0:
         from ..ops.fused_attention import fused_attention as _fa
 
         rate = cfg.dropout_rate if train else 0.0
@@ -161,7 +161,9 @@ def frontend(
             for k in ("wq", "wk", "wv", "wo", "bq", "bk", "bv", "bo")
         }
         interp = jax.default_backend() != "tpu"
-        attn = _fa(cfg.num_heads, rate, 128, interp, x, weights, seed)
+        attn = _fa(
+            cfg.num_heads, rate, cfg.fused_attention_tile, interp, x, weights, seed
+        )
     else:
         attn = attention(params, x, cfg, train=train, key=k_attn)
     # LayerNorm statistics in f32 even under a bf16 frontend.

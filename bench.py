@@ -69,6 +69,36 @@ def main() -> None:
     sheets_per_sec = batch * iters / dt
     glyphs_per_sec = sheets_per_sec * glyphs_per_sheet
 
+    # Extra: the int8xint8 serving path (ops/quantized.py — per-channel int8
+    # weights x dynamic per-row int8 activations, int32 MXU accumulation).
+    # Same chained-timing discipline; reported alongside, not as the
+    # headline, which stays on the full-precision parity path.
+    from ai_font_renderer_tpu.ops.quantized import (
+        apply_quantized_int8,
+        quantize_params,
+    )
+
+    served = quantize_params(params)
+
+    @jax.jit
+    def fwd_chain_q8(p, c):
+        out = apply_quantized_int8(p, c, mcfg)
+        delta = (out[:, :1, : mcfg.max_length] * 7).astype(jnp.int32)
+        nxt = (c + delta.reshape(c.shape)) % 26 + 65
+        return out, nxt
+
+    out, c = fwd_chain_q8(served, codes)
+    jax.block_until_ready((out, c))
+    q8_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cc = codes
+        for _ in range(iters):
+            out, cc = fwd_chain_q8(served, cc)
+        float(out.mean())
+        q8_dt = min(q8_dt, time.perf_counter() - t0)
+    int8_glyphs_per_sec = batch * iters * glyphs_per_sheet / q8_dt
+
     # Secondary: train-step throughput at the flagship batch size, measured
     # on the SAME path the real loop runs (train/loop.py): the whole-epoch
     # `lax.scan` with device-resident data and rbg dropout keys. Per-call
@@ -122,6 +152,7 @@ def main() -> None:
                 "unit": "glyphs/sec",
                 "vs_baseline": round(glyphs_per_sec / BASELINE_GLYPHS_PER_SEC, 2),
                 "sheets_per_sec": round(sheets_per_sec, 1),
+                "int8_serving_glyphs_per_sec": round(int8_glyphs_per_sec, 1),
                 "train_steps_per_sec": round(steps / train_dt, 2),
                 "train_samples_per_sec": round(steps * tb / train_dt, 1),
                 "device": str(jax.devices()[0]),
