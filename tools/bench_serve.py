@@ -1,0 +1,96 @@
+"""Measure end-to-end render-server throughput (ROADMAP "serving").
+
+Starts a RenderServer in-process (random or saved weights), then drives it
+with concurrent clients over the unix socket — the full production path:
+socket framing + dynamic batching + device render + reply encode. Unlike
+bench.py's device-only chain, this number includes every host-side cost a
+real serving deployment pays.
+
+Usage: python tools/bench_serve.py [n_clients] [reqs_per_client] [strings_per_req]
+Prints one JSON line with strings/sec and glyphs/sec (end-to-end).
+"""
+
+from __future__ import annotations
+
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import json
+import os
+import sys
+import threading
+import time
+
+import jax
+
+from ai_font_renderer_tpu.config import ModelConfig
+from ai_font_renderer_tpu.models import font_renderer
+from ai_font_renderer_tpu.render.server import RenderServer, request_render
+
+SOCK = "/tmp/afr_bench.sock"
+
+
+def main() -> None:
+    n_clients = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    reqs = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    per_req = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+
+    mcfg = ModelConfig()
+    if os.path.exists("font_renderer.npz"):
+        from ai_font_renderer_tpu.utils.checkpoint import load_params
+
+        params = load_params("font_renderer.npz")
+    else:
+        params = font_renderer.init(jax.random.PRNGKey(0), mcfg)
+
+    if os.path.exists(SOCK):
+        os.unlink(SOCK)
+    server = RenderServer(params, mcfg, socket_path=SOCK, batch_size=256)
+    server.start()
+
+    strings = [
+        ("HELLO WORLD " * 9)[: 10 + (i * 7) % 90] for i in range(per_req)
+    ]
+    glyphs_per_req = sum(len(s) for s in strings)
+
+    # Warm (compile + first batch) outside the timed window.
+    _, warm = request_render(SOCK, strings[:4])
+    assert len(warm) == 4
+
+    done = [0] * n_clients
+
+    def client(ci: int) -> None:
+        for _ in range(reqs):
+            _, sheets = request_render(SOCK, strings)
+            assert len(sheets) == per_req
+            done[ci] += 1
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    server.stop()
+
+    total_strings = n_clients * reqs * per_req
+    total_glyphs = n_clients * reqs * glyphs_per_req
+    print(
+        json.dumps(
+            {
+                "metric": "serve_strings_per_sec",
+                "value": round(total_strings / dt, 1),
+                "unit": "strings/sec",
+                "glyphs_per_sec": round(total_glyphs / dt, 1),
+                "clients": n_clients,
+                "batch_size": 256,
+                "wall_s": round(dt, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,11 @@ OUT = "extended_runs/montserrat_hc"
 
 def main() -> None:
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+    # LR scales down with the width: at lr 1e-3 the 16000-wide flat layer's
+    # per-step output swing saturates the (0,1) clamp all-white and
+    # gradients die (observed: val frozen at the all-white MSE 0.0268 from
+    # epoch 0). 6400-wide parity trains at 1e-3; 16000-wide needs ~0.4x.
+    lr = float(sys.argv[2]) if len(sys.argv) > 2 else 5e-4
     t0 = time.time()
     atlas = bake_prop_atlas(MONTSERRAT_PATH)
     ds = build_device_dataset_prop(atlas, num_samples=150000)
@@ -46,7 +51,9 @@ def main() -> None:
         bf16_frontend=True,
         bits_dropout=True,
     )
-    tcfg = TrainConfig(num_epochs=epochs, eval_every=50, checkpoint_every=200)
+    tcfg = TrainConfig(
+        num_epochs=epochs, learning_rate=lr, eval_every=50, checkpoint_every=200
+    )
     r = train(
         ds,
         mcfg,
