@@ -206,8 +206,10 @@ def cmd_eval(args) -> int:
     if not os.path.exists(args.weights):
         print(f"Error: weights file not found: {args.weights}")
         return 1
+    from .models.font_renderer import infer_model_config
+
     params = load_params(args.weights)
-    mcfg = ModelConfig()
+    mcfg = infer_model_config(params)
     tcfg = TrainConfig(num_samples=args.num_samples)
     # Synthesize ONLY the val split (the same 20% the training split_
     # permutation defines) — 5x less synthesis than rebuilding the corpus.
@@ -273,8 +275,12 @@ def cmd_render(args) -> int:
             "Train one first: python model.py --train"
         )
         return 1
+    from .models.font_renderer import infer_model_config
+
     params = load_params(args.weights)
-    render_strings(params, args.strings or TEST_STRINGS, args.out, ModelConfig())
+    render_strings(
+        params, args.strings or TEST_STRINGS, args.out, infer_model_config(params)
+    )
     return 0
 
 
@@ -288,10 +294,12 @@ def cmd_serve(args) -> int:
     if not os.path.exists(args.weights):
         print(f"Error: weights file not found: {args.weights}")
         return 1
+    from .models.font_renderer import infer_model_config
+
     params = load_params(args.weights)
     server = RenderServer(
         params,
-        ModelConfig(),
+        infer_model_config(params),
         socket_path=args.socket,
         batch_size=args.batch_size,
     )
@@ -363,6 +371,16 @@ def main(argv: list[str] | None = None) -> int:
         help="plateau = reference parity; cosine = fast time-budget profile",
     )
     parser.add_argument("--peak-lr", type=float, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument(
+        "--decoder", choices=["linear", "conv"], default=None,
+        help="linear = reference parity (6400x19200 head); conv = "
+        "position-equivariant upsampling decoder (~460x fewer params)",
+    )
+    parser.add_argument(
+        "--leaky-clamp", type=float, default=None,
+        help="training-only leaky output clamp slope (0 = reference-exact)",
+    )
     try:
         args = parser.parse_args(argv)
     except SystemExit:
@@ -386,6 +404,12 @@ def main(argv: list[str] | None = None) -> int:
         tcfg = replace(tcfg, schedule=args.schedule)
     if args.peak_lr:
         tcfg = replace(tcfg, peak_learning_rate=args.peak_lr)
+    if args.lr:
+        tcfg = replace(tcfg, learning_rate=args.lr)
+    if args.decoder:
+        mcfg = replace(mcfg, decoder=args.decoder)
+    if args.leaky_clamp is not None:
+        mcfg = replace(mcfg, leaky_clamp=args.leaky_clamp)
     output_dir = args.output or default_output_dir()
     os.makedirs(output_dir, exist_ok=True)
 
@@ -397,7 +421,10 @@ def main(argv: list[str] | None = None) -> int:
         render_strings(result.params, TEST_STRINGS, output_dir, mcfg)
     else:
         if os.path.exists(args.weights):
+            from .models.font_renderer import infer_model_config
+
             params = load_params(args.weights)
+            mcfg = infer_model_config(params, mcfg)
         else:
             print("No saved model found. Training a new model...")
             result = run_training(

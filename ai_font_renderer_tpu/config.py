@@ -90,6 +90,33 @@ class ModelConfig:
     # at tile 128, bwd 31.6 MB at tile 16, vs a 16 MB limit. Tile 8 fits
     # both directions.
     fused_attention_tile: int = 8
+    # Sheet decoder. "linear" is the reference architecture (model.py:152):
+    # one 6400x19200 projection — a per-(slot, pixel) dictionary, 99.99% of
+    # all parameters. "conv" replaces it with a position-equivariant
+    # upsampling decoder: the frontend's per-slot features form a coarse
+    # [grid_rows, grid_cols] latent image that a shared-weight conv pyramid
+    # upsamples to the sheet. Same ink-painting weights at every position —
+    # the structural fix for proportional layouts, where glyphs land at
+    # arbitrary kerned x-offsets and the linear dictionary underfits
+    # (RESULTS.md: Montserrat parity plateaus at val 0.0169, train == val).
+    decoder: str = "linear"
+    # Latent grid for the conv decoder; rows*cols must equal max_length.
+    # (5, 20) tiles the 80x240 sheet into 16x12-px cells.
+    decoder_grid: tuple[int, int] = (5, 20)
+    # Channel plan: decoder_channels[0] is the latent projection width;
+    # each later entry is one resize->conv3x3->relu stage's output width.
+    # Spatial sizes double per stage (capped at the sheet size, which the
+    # last stage always hits exactly).
+    decoder_channels: tuple[int, ...] = (128, 128, 64, 32, 16)
+    # Training-only leaky clamp slope. The reference clamps the output to
+    # [0,1] (model.py:202); a saturated pixel then has zero gradient, and
+    # wide variants can die entirely: the 16000-wide Montserrat config
+    # drives every pixel past 1.0 ("all white") in the first epochs and
+    # freezes at the all-white MSE with no gradient signal at lr 1e-3 AND
+    # 5e-4 (RESULTS.md). With slope s > 0, training keeps s*x outside the
+    # bounds (y = clip(x) + s*(x - clip(x))) so saturated pixels pull back;
+    # eval/inference always hard-clamps. 0.0 = reference-exact.
+    leaky_clamp: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -41,6 +41,26 @@ def _uniform(key, shape, bound, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
+def _decoder_plan(cfg: ModelConfig) -> list[tuple[int, int, int, int]]:
+    """Conv-decoder stage plan: [(out_h, out_w, c_in, c_out), ...].
+
+    Spatial size doubles per stage from the latent grid, capped at the sheet
+    size; the final stage always lands exactly on (sheet_height, sheet_width).
+    Channels follow cfg.decoder_channels[1:].
+    """
+    gh, gw = cfg.decoder_grid
+    chans = cfg.decoder_channels
+    plan = []
+    h, w, cin = gh, gw, chans[0]
+    n = len(chans) - 1
+    for i, cout in enumerate(chans[1:]):
+        h = cfg.sheet_height if i == n - 1 else min(h * 2, cfg.sheet_height)
+        w = cfg.sheet_width if i == n - 1 else min(w * 2, cfg.sheet_width)
+        plan.append((h, w, cin, cout))
+        cin = cout
+    return plan
+
+
 def init(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
     """Initialize parameters (distributions follow torch's module defaults)."""
     e, h = cfg.embedding_dim, cfg.hidden_dim
@@ -48,6 +68,37 @@ def init(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
     pixels = cfg.sheet_height * cfg.sheet_width
     keys = jax.random.split(key, 12)
     xavier = (6.0 / (e + e)) ** 0.5  # MHA in_proj: xavier_uniform
+    if cfg.decoder == "conv":
+        gh, gw = cfg.decoder_grid
+        if gh * gw != cfg.max_length:
+            raise ValueError(
+                f"decoder_grid {cfg.decoder_grid} must tile max_length="
+                f"{cfg.max_length}"
+            )
+        params = _init_common(keys, cfg, e, h, xavier)
+        c0 = cfg.decoder_channels[0]
+        dkeys = jax.random.split(keys[10], 2 * len(cfg.decoder_channels) + 2)
+        params["dec_in_w"] = _uniform(dkeys[0], (h, c0), 1.0 / h**0.5)
+        params["dec_in_b"] = _uniform(dkeys[1], (c0,), 1.0 / h**0.5)
+        for i, (_, _, cin, cout) in enumerate(_decoder_plan(cfg)):
+            bound = 1.0 / (9 * cin) ** 0.5  # torch conv default: U(+-1/sqrt(k*k*cin))
+            params[f"dec_w{i}"] = _uniform(dkeys[2 + 2 * i], (3, 3, cin, cout), bound)
+            params[f"dec_b{i}"] = _uniform(dkeys[3 + 2 * i], (cout,), bound)
+        clast = cfg.decoder_channels[-1]
+        bound = 1.0 / (9 * clast) ** 0.5
+        params["dec_out_w"] = _uniform(dkeys[-2], (3, 3, clast, 1), bound)
+        # Bias starts at 1.0 = white: sheets are ~97% background, so the
+        # decoder begins at the all-white baseline instead of mid-gray.
+        params["dec_out_b"] = jnp.ones((1,))
+        return params
+    return {
+        **_init_common(keys, cfg, e, h, xavier),
+        "out_w": _uniform(keys[8], (flat, pixels), 1.0 / flat**0.5),
+        "out_b": _uniform(keys[9], (pixels,), 1.0 / flat**0.5),
+    }
+
+
+def _init_common(keys, cfg: ModelConfig, e: int, h: int, xavier: float) -> dict:
     return {
         "embedding": jax.random.normal(keys[0], (cfg.vocab_size, e)),
         "pos": cfg.pos_init_std * jax.random.normal(keys[1], (cfg.max_length, e)),
@@ -63,13 +114,44 @@ def init(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
         "ln_bias": jnp.zeros((e,)),
         "fc1_w": _uniform(keys[6], (e, h), 1.0 / e**0.5),
         "fc1_b": _uniform(keys[7], (h,), 1.0 / e**0.5),
-        "out_w": _uniform(keys[8], (flat, pixels), 1.0 / flat**0.5),
-        "out_b": _uniform(keys[9], (pixels,), 1.0 / flat**0.5),
     }
 
 
 def param_count(params: dict) -> int:
     return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+def infer_model_config(params: dict, base: ModelConfig = ModelConfig()) -> ModelConfig:
+    """Recover architecture hyperparameters from a saved weight dict.
+
+    Saved npz weights carry no config (matching the reference's bare
+    state_dict, helpers.py:76-79), so the serving surfaces (render/eval/
+    serve CLI) reconstruct one from parameter shapes: vocab/embed from the
+    embedding table, max_length from the positional table, hidden width
+    from fc1, and the decoder family + channel plan from the dec_* keys.
+    num_heads is not recoverable from shapes (the qkv projections are
+    [E, E] for any head count); both shipped configs use 8-dim heads, so a
+    non-default embedding infers heads = E // 8.
+    """
+    import dataclasses
+
+    kw: dict = {}
+    v, e = params["embedding"].shape
+    kw["vocab_size"] = int(v)
+    kw["embedding_dim"] = int(e)
+    kw["max_length"] = int(params["pos"].shape[0])
+    kw["hidden_dim"] = int(params["fc1_w"].shape[1])
+    if int(e) != base.embedding_dim:
+        kw["num_heads"] = max(1, int(e) // 8)
+    if "dec_w0" in params:
+        kw["decoder"] = "conv"
+        chans = [int(params["dec_in_w"].shape[1])]
+        i = 0
+        while f"dec_w{i}" in params:
+            chans.append(int(params[f"dec_w{i}"].shape[3]))
+            i += 1
+        kw["decoder_channels"] = tuple(chans)
+    return dataclasses.replace(base, **kw)
 
 
 def _dropout(x, rate, key, train, bits=False):
@@ -181,6 +263,46 @@ def frontend(
     return flat
 
 
+def conv_decode(params: dict, flat: jax.Array, cfg: ModelConfig) -> jax.Array:
+    """Position-equivariant sheet decoder: flat [B, S*h] -> [B, H, W].
+
+    The frontend's per-slot features are projected to decoder_channels[0]
+    and laid out as a coarse [grid_rows, grid_cols] latent image (slot i ->
+    cell (i // cols, i % cols)); a pyramid of nearest-resize + 3x3 conv +
+    ReLU stages upsamples it to sheet resolution, and a final 3x3 conv
+    paints grayscale ink. Every stage's weights are shared across all
+    spatial positions — the same ink-painting weights serve a glyph at any
+    kerned x-offset, unlike the linear head's per-(slot, pixel) dictionary.
+
+    Convs are NHWC/HWIO with bf16 inputs and f32 accumulation (the MXU's
+    native conv mode) when cfg.bf16_matmul; the output stage stays f32.
+    """
+    B = flat.shape[0]
+    dt = jnp.bfloat16 if cfg.bf16_matmul else jnp.float32
+    gh, gw = cfg.decoder_grid
+    x = flat.reshape(B, cfg.max_length, cfg.hidden_dim).astype(dt)
+    x = jax.nn.relu(
+        x @ params["dec_in_w"].astype(dt) + params["dec_in_b"].astype(dt)
+    )
+    x = x.reshape(B, gh, gw, cfg.decoder_channels[0])
+    conv = partial(
+        jax.lax.conv_general_dilated,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # Hidden stages run operands AND outputs in bf16 (the MXU still
+    # accumulates f32 internally; conv's transpose rule rejects the
+    # mixed-dtype preferred_element_type spelling under autodiff). The
+    # final ink stage is f32.
+    for i, (h, w, _, _) in enumerate(_decoder_plan(cfg)):
+        x = jax.image.resize(x, (B, h, w, x.shape[-1]), "nearest")
+        x = conv(x, params[f"dec_w{i}"].astype(dt)) + params[f"dec_b{i}"].astype(dt)
+        x = jax.nn.relu(x)
+    out = conv(x.astype(jnp.float32), params["dec_out_w"]) + params["dec_out_b"]
+    return out[..., 0]
+
+
 @partial(jax.jit, static_argnames=("cfg", "train"))
 def apply(
     params: dict,
@@ -193,6 +315,9 @@ def apply(
     """Forward pass: int codes [B, <=max_length] -> sheets [B, H, W] in [0,1]."""
     B = codes.shape[0]
     flat = frontend(params, codes, cfg, train=train, key=key)
+
+    if cfg.decoder == "conv":
+        return _clamp(conv_decode(params, flat, cfg), cfg, train)
 
     # The dominant GEMM: [B, 6400] @ [6400, 19200]. bf16 inputs, f32
     # accumulation — the MXU's native mode.
@@ -211,4 +336,12 @@ def apply(
         + params["out_b"]
     )
     sheet = sheet.reshape(B, cfg.sheet_height, cfg.sheet_width)
-    return jnp.clip(sheet, 0.0, 1.0)  # clamped linear output (model.py:156)
+    return _clamp(sheet, cfg, train)  # clamped linear output (model.py:156)
+
+
+def _clamp(x: jax.Array, cfg: ModelConfig, train: bool) -> jax.Array:
+    """[0,1] output clamp; optionally leaky during training (see config)."""
+    y = jnp.clip(x, 0.0, 1.0)
+    if train and cfg.leaky_clamp > 0.0:
+        return y + cfg.leaky_clamp * (x - y)
+    return y

@@ -41,6 +41,11 @@ def quantized_output(
 
 def quantize_params(params: dict) -> dict:
     """Serving bundle: out_w replaced by (int8 weights, scales)."""
+    if "out_w" not in params:
+        raise ValueError(
+            "int8 serving quantizes the linear decoder's out_w; this "
+            "checkpoint has none (conv-decoder model?)"
+        )
     w_q, s = quantize_weights(params["out_w"])
     served = {k: v for k, v in params.items() if k != "out_w"}
     served["out_w_q"] = w_q

@@ -103,6 +103,11 @@ def train_step(
 def init_fused_state(
     key: jax.Array, mcfg: ModelConfig, tcfg: TrainConfig
 ) -> FusedTrainState:
+    if mcfg.decoder != "linear":
+        raise ValueError(
+            "fused_dw_adamw fuses the linear decoder's out_w update; "
+            f"decoder={mcfg.decoder!r} has no out_w"
+        )
     params = font_renderer.init(key, mcfg)
     rest = {k: v for k, v in params.items() if k != "out_w"}
     opt_state = make_optimizer(tcfg).init(rest)

@@ -41,6 +41,7 @@ def main() -> None:
         from ai_font_renderer_tpu.utils.checkpoint import load_params
 
         params = load_params("font_renderer.npz")
+        mcfg = font_renderer.infer_model_config(params, mcfg)
     else:
         params = font_renderer.init(jax.random.PRNGKey(0), mcfg)
 
