@@ -34,10 +34,11 @@ OUT = "extended_runs/montserrat_hc"
 
 def main() -> None:
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 400
-    # LR scales down with the width: at lr 1e-3 the 16000-wide flat layer's
-    # per-step output swing saturates the (0,1) clamp all-white and
-    # gradients die (observed: val frozen at the all-white MSE 0.0268 from
-    # epoch 0). 6400-wide parity trains at 1e-3; 16000-wide needs ~0.4x.
+    # The 16000-wide output layer saturates the (0,1) clamp all-white in
+    # the first epochs and freezes at the all-white MSE (0.026839) with
+    # zero gradient — measured at BOTH lr 1e-3 and 5e-4 (early-stopped at
+    # epoch 70 with best == epoch 0). The fix is the training-only leaky
+    # clamp below, which keeps a restoring gradient on saturated pixels.
     lr = float(sys.argv[2]) if len(sys.argv) > 2 else 5e-4
     t0 = time.time()
     atlas = bake_prop_atlas(MONTSERRAT_PATH)
@@ -50,6 +51,7 @@ def main() -> None:
         hidden_dim=160,
         bf16_frontend=True,
         bits_dropout=True,
+        leaky_clamp=0.01,
     )
     tcfg = TrainConfig(
         num_epochs=epochs, learning_rate=lr, eval_every=50, checkpoint_every=200
