@@ -108,6 +108,12 @@ class ModelConfig:
     # Spatial sizes double per stage (capped at the sheet size, which the
     # last stage always hits exactly).
     decoder_channels: tuple[int, ...] = (128, 128, 64, 32, 16)
+    # Round the output projection's backward cotangent to bf16 so the dX
+    # and dW GEMMs run bf16 x bf16 (MXU-native) instead of f32 x bf16 —
+    # the bwd pass is the step's largest segment and half of it is the dX
+    # GEMM (RESULTS.md perf decomposition). Forward is bit-identical to
+    # bf16_matmul; opt-in fast-profile knob like bf16_frontend.
+    bf16_cotangent: bool = False
     # Training-only leaky clamp slope. The reference clamps the output to
     # [0,1] (model.py:202); a saturated pixel then has zero gradient, and
     # wide variants can die entirely: the 16000-wide Montserrat config

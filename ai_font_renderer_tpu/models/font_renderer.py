@@ -303,6 +303,44 @@ def conv_decode(params: dict, flat: jax.Array, cfg: ModelConfig) -> jax.Array:
     return out[..., 0]
 
 
+@jax.custom_vjp
+def _proj_bf16grad(flat: jax.Array, w: jax.Array) -> jax.Array:
+    """flat @ w with bf16 operands AND bf16 cotangents (f32 accumulation).
+
+    Under plain autodiff the backward GEMMs receive the f32 cotangent of
+    the projection output, so dX = g @ W^T and dW = X^T @ g run as
+    f32 x bf16 GEMMs — off the MXU's native bf16 path. This custom VJP
+    rounds g to bf16 first: all three of the model's dominant GEMMs
+    (fwd/dX/dW) then run bf16 x bf16 with f32 accumulation. Opt-in via
+    ModelConfig.bf16_cotangent (fast profile); the rounding applies only
+    to the 123M-param projection's cotangent, the same tensor the fused
+    Pallas path (train/step.py:_fused_step) already streams in bf16.
+    """
+    return jnp.dot(
+        flat.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _proj_bf16grad_fwd(flat, w):
+    fb = flat.astype(jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    out = jnp.dot(fb, wb, preferred_element_type=jnp.float32)
+    return out, (fb, wb)
+
+
+def _proj_bf16grad_bwd(res, g):
+    fb, wb = res
+    gb = g.astype(jnp.bfloat16)
+    dflat = jnp.dot(gb, wb.T, preferred_element_type=jnp.float32)
+    dw = jnp.dot(fb.T, gb, preferred_element_type=jnp.float32)
+    return dflat, dw
+
+
+_proj_bf16grad.defvjp(_proj_bf16grad_fwd, _proj_bf16grad_bwd)
+
+
 @partial(jax.jit, static_argnames=("cfg", "train"))
 def apply(
     params: dict,
@@ -326,15 +364,18 @@ def apply(
 
         sheet = fused_output(flat, params["out_w"], params["out_b"])
         return sheet.reshape(B, cfg.sheet_height, cfg.sheet_width)
-    dt = jnp.bfloat16 if cfg.bf16_matmul else jnp.float32
-    sheet = (
-        jnp.dot(
-            flat.astype(dt),
-            params["out_w"].astype(dt),
-            preferred_element_type=jnp.float32,
+    if cfg.bf16_cotangent:
+        sheet = _proj_bf16grad(flat, params["out_w"]) + params["out_b"]
+    else:
+        dt = jnp.bfloat16 if cfg.bf16_matmul else jnp.float32
+        sheet = (
+            jnp.dot(
+                flat.astype(dt),
+                params["out_w"].astype(dt),
+                preferred_element_type=jnp.float32,
+            )
+            + params["out_b"]
         )
-        + params["out_b"]
-    )
     sheet = sheet.reshape(B, cfg.sheet_height, cfg.sheet_width)
     return _clamp(sheet, cfg, train)  # clamped linear output (model.py:156)
 

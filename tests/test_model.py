@@ -133,3 +133,38 @@ def test_bits_dropout_trains():
     kept = float((y > 0).mean())
     assert abs(kept - 0.796875) < 0.02  # keep prob quantized to 204/256
     assert float(y.max()) == 1.25  # scaled by 1/keep
+
+
+def test_bf16_cotangent_grads_match_standard():
+    """The bf16-cotangent projection changes only backward dtype rounding:
+    forward is bit-identical to bf16_matmul, and gradients stay within
+    bf16 rounding of the standard autodiff path."""
+    import jax, jax.numpy as jnp, numpy as np
+    from ai_font_renderer_tpu.config import ModelConfig
+    from ai_font_renderer_tpu.models import font_renderer
+
+    std = ModelConfig(max_length=24, sheet_height=16, sheet_width=48)
+    fast = ModelConfig(
+        max_length=24, sheet_height=16, sheet_width=48, bf16_cotangent=True
+    )
+    params = font_renderer.init(jax.random.PRNGKey(0), std)
+    codes = jax.random.randint(jax.random.PRNGKey(1), (8, 24), 65, 91, jnp.int32)
+    targets = jax.random.uniform(jax.random.PRNGKey(2), (8, 16, 48))
+
+    def loss(p, cfg):
+        pred = font_renderer.apply(p, codes, cfg, train=False)
+        return jnp.mean((pred - targets) ** 2)
+
+    # Forward: bit-identical.
+    np.testing.assert_array_equal(
+        np.asarray(font_renderer.apply(params, codes, std)),
+        np.asarray(font_renderer.apply(params, codes, fast)),
+    )
+    g_std = jax.grad(loss)(params, std)
+    g_fast = jax.grad(loss)(params, fast)
+    for k in ("out_w", "fc1_w", "embedding"):
+        a, b = np.asarray(g_std[k]).ravel(), np.asarray(g_fast[k]).ravel()
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30))
+        assert cos > 0.999, (k, cos)
+        scale = np.abs(a).max() + 1e-30
+        assert np.abs(a - b).max() / scale < 0.02, k
