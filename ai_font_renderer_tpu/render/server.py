@@ -34,33 +34,54 @@ from ..config import ModelConfig
 
 
 class _Batcher:
-    """Queue of (strings, reply_fn); drains into fixed-size device batches."""
+    """Queue of (strings, reply_fn); drains into fixed-size device batches.
+
+    Double-buffered: every chunk of a drain is DISPATCHED before any is
+    fetched (JAX dispatch is async, so the device works ahead while the
+    host encodes the next chunk's codes), quantization to uint8 happens on
+    device (4x smaller fetches), and replies are written by a separate
+    thread so socket IO never blocks the render loop.
+    """
 
     def __init__(self, params, mcfg: ModelConfig, batch_size: int = 64):
         from . import render  # local import: jax only when serving
 
-        self._render = render.render_batch
+        self._render_u8 = render.render_batch_u8_async
         self.params = params
         self.mcfg = mcfg
         self.batch_size = batch_size
         self.q: queue.Queue = queue.Queue()
+        self._replies: queue.Queue = queue.Queue()
         self._stop = threading.Event()
         self.thread = threading.Thread(target=self._loop, daemon=True)
+        self._reply_thread = threading.Thread(target=self._reply_loop, daemon=True)
 
     def start(self):
         # Warm the compiled shape once so first clients don't pay compile.
-        self._render(
-            self.params, [""] * self.batch_size, self.mcfg
-        )
+        np.asarray(self._render_u8(self.params, [""] * self.batch_size, self.mcfg))
         self.thread.start()
+        self._reply_thread.start()
 
     def stop(self):
         self._stop.set()
         self.q.put(None)
+        self._replies.put(None)
         self.thread.join(timeout=5)
+        self._reply_thread.join(timeout=5)
 
     def submit(self, strings: list[str], reply):
         self.q.put((strings, reply))
+
+    def _reply_loop(self):
+        while True:
+            item = self._replies.get()
+            if item is None:
+                return
+            reply, sheets = item
+            try:
+                reply(sheets)
+            except (BrokenPipeError, ConnectionError, OSError):
+                pass  # client went away; keep serving others
 
     def _loop(self):
         while not self._stop.is_set():
@@ -81,20 +102,22 @@ class _Batcher:
             for strings, reply in pending:
                 spans.append((len(flat), len(strings), reply))
                 flat.extend(strings)
-            sheets = np.empty(
-                (len(flat), self.mcfg.sheet_height, self.mcfg.sheet_width),
-                np.float32,
-            )
+            # Phase 1: dispatch every chunk (async) — the device pipeline
+            # stays full while the host encodes subsequent chunks.
+            outs = []
             for start in range(0, len(flat), self.batch_size):
                 chunk = flat[start : start + self.batch_size]
                 padded = chunk + [""] * (self.batch_size - len(chunk))
-                out = self._render(self.params, padded, self.mcfg)
-                sheets[start : start + len(chunk)] = out[: len(chunk)]
+                outs.append((start, len(chunk), self._render_u8(self.params, padded, self.mcfg)))
+            # Phase 2: fetch in order (uint8 — quantized on device).
+            sheets = np.empty(
+                (len(flat), self.mcfg.sheet_height, self.mcfg.sheet_width),
+                np.uint8,
+            )
+            for start, count, dev in outs:
+                sheets[start : start + count] = np.asarray(dev)[:count]
             for start, count, reply in spans:
-                try:
-                    reply(sheets[start : start + count])
-                except (BrokenPipeError, ConnectionError, OSError):
-                    pass  # client went away; keep serving others
+                self._replies.put((reply, sheets[start : start + count]))
 
 
 def _send_msg(sock, payload: bytes):
@@ -167,12 +190,11 @@ class RenderServer:
                             for sheet in sheets:
                                 _send_msg(sock, encode_bmp(sheet))
                         else:
-                            u8 = (
-                                np.round(np.clip(sheets, 0, 1) * 255)
-                                .astype(np.uint8)
-                                .tobytes()
-                            )
-                            sock.sendall(u8)
+                            if sheets.dtype != np.uint8:
+                                sheets = np.round(
+                                    np.clip(sheets, 0, 1) * 255
+                                ).astype(np.uint8)
+                            sock.sendall(sheets.tobytes())
                         done.set()
 
                     batcher.submit(strings, reply)
