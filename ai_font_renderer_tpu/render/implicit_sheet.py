@@ -1,0 +1,191 @@
+"""Implicit-flagship hybrid: SIREN glyph bank -> text sheets at ANY scale.
+
+The flagship model emits fixed 80x240 bitmaps (the reference's only output
+mode, model.py:152-156). The implicit glyph family (models/siren.py) stores
+glyphs as coordinate functions instead, so a whole text sheet can be
+rendered at arbitrary resolution: lay the string out with the same
+word-wrap/pen-advance rules as the bitmap pipeline (fontgen/layout.py;
+pen at padding + j*adv, baseline at (l+1)*line_height, matching
+generate_font.ts:125-130), then evaluate the glyph MLP once per placed
+glyph over its cell window and composite ink additively on a white sheet
+(clip(1 - sum cov), as fontgen/sheets.py does).
+
+Everything after layout is ONE device call with static shapes: instances
+are padded to ``max_glyphs``, every instance evaluates a fixed
+[win, win] coordinate window, and contributions scatter-add into the
+[N, H, W] sheet batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PRINTABLE_ASCII, SheetSpec
+from ..fontgen.layout import AdvanceTable, wrap_text
+from ..fontgen.ttf import TrueTypeFont
+from ..models import siren
+
+
+@dataclass(frozen=True)
+class ImplicitLayout:
+    """Static geometry binding a SIREN glyph bank to sheet composition."""
+
+    cell: int  # SIREN training cell resolution
+    fill: float  # em fraction of the cell (rasterize_charset default 0.85)
+    scale: float  # output sheet scale (1.0 = reference 80x240)
+    height: int  # output sheet pixels
+    width: int
+    win: int  # per-glyph eval window, sheet px
+    r: float  # sheet px per cell px
+    cell_baseline: float  # baseline row inside the cell, cell px
+    cell_x_center: float  # cell column of the advance midpoint, cell px
+    max_glyphs: int
+
+
+def build_layout(
+    font: TrueTypeFont,
+    spec: SheetSpec = SheetSpec(),
+    cell: int = 64,
+    fill: float = 0.85,
+    scale: float = 1.0,
+    max_glyphs: int = 100,
+) -> ImplicitLayout:
+    span = max(font.ascent - font.descent, 1)
+    k_cell = fill * cell / span  # cell px per font unit
+    k_sheet = spec.font_size * scale / font.units_per_em  # sheet px per unit
+    r = k_sheet / k_cell
+    top_margin = 0.5 * (cell - fill * cell)
+    return ImplicitLayout(
+        cell=cell,
+        fill=fill,
+        scale=scale,
+        height=int(round(spec.height * scale)),
+        width=int(round(spec.width * scale)),
+        win=int(np.ceil(cell * r)) + 1,
+        r=r,
+        cell_baseline=top_margin + font.ascent * k_cell,
+        cell_x_center=0.5 * cell,
+        max_glyphs=max_glyphs,
+    )
+
+
+def place_glyphs(
+    strings: list[str],
+    font: TrueTypeFont,
+    lay: ImplicitLayout,
+    spec: SheetSpec = SheetSpec(),
+    charset: str = PRINTABLE_ASCII,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side layout -> fixed-shape instance arrays.
+
+    Returns (char_ids [N, G], window origins [N, G, 2] (x, y) f32 in output
+    sheet px, valid mask [N, G]). Layout happens at BASE scale so word wrap
+    is identical at every output scale; positions then multiply by scale.
+    """
+    idx = {c: i for i, c in enumerate(charset)}
+    adv_base = np.array(
+        [
+            font.advance(font.glyph_id(ord(c))) * spec.font_size / font.units_per_em
+            for c in charset
+        ]
+    )
+    table = AdvanceTable(charset, adv_base)
+    G = lay.max_glyphs
+    n = len(strings)
+    ids = np.zeros((n, G), np.int32)
+    origins = np.zeros((n, G, 2), np.float32)
+    valid = np.zeros((n, G), bool)
+    for si, s in enumerate(strings):
+        s = s[: spec.max_chars]
+        g = 0
+        for li, line in enumerate(wrap_text(s, table, spec.width)):
+            baseline = (li + 1) * spec.line_height * lay.scale
+            pen = spec.padding
+            for ch in line:
+                ci = idx.get(ch)
+                if ci is None:
+                    continue
+                if ch != " " and g < G:
+                    # Window top-left so the glyph cell (advance-centered
+                    # at bake time, glyphs.py:rasterize_charset) lands with
+                    # its advance midpoint on the pen midpoint.
+                    mid = (pen + 0.5 * adv_base[ci]) * lay.scale
+                    ids[si, g] = ci
+                    origins[si, g, 0] = mid - lay.cell_x_center * lay.r
+                    origins[si, g, 1] = baseline - lay.cell_baseline * lay.r
+                    valid[si, g] = True
+                    g += 1
+                pen += adv_base[ci]
+    return ids, origins, valid
+
+
+@partial(jax.jit, static_argnames=("cfg", "lay"))
+def compose(params, char_ids, origins, valid, cfg: siren.SirenConfig, lay: ImplicitLayout):
+    """Evaluate + composite all placed glyphs: ONE device call.
+
+    char_ids [N, G] int32, origins [N, G, 2] f32, valid [N, G] bool
+    -> sheets [N, H, W] f32 in [0, 1] (1 = white).
+    """
+    N, G = char_ids.shape
+    win, r, cell = lay.win, lay.r, lay.cell
+    H, W = lay.height, lay.width
+
+    x0 = jnp.floor(origins[..., 0]).astype(jnp.int32)  # [N, G]
+    y0 = jnp.floor(origins[..., 1]).astype(jnp.int32)
+    jj, ii = jnp.meshgrid(jnp.arange(win), jnp.arange(win), indexing="xy")
+    # Absolute pixel centers of each window cell -> cell-local coords.
+    px = x0[..., None, None] + jj + 0.5  # [N, G, win, win]
+    py = y0[..., None, None] + ii + 0.5
+    xc = (px - origins[..., 0, None, None]) / r
+    yc = (py - origins[..., 1, None, None]) / r
+    u = xc / cell * 2.0 - 1.0
+    v = yc / cell * 2.0 - 1.0
+    coords = jnp.stack([u, v], axis=-1).reshape(N * G, win * win, 2)
+
+    cov = siren.apply(params, char_ids.reshape(N * G), coords, cfg)
+    cov = cov.reshape(N, G, win, win)
+
+    inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0)
+    xi = (px - 0.5).astype(jnp.int32)
+    yi = (py - 0.5).astype(jnp.int32)
+    onscreen = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+    mask = inside & onscreen & valid[..., None, None]
+    flat_idx = (
+        jnp.arange(N, dtype=jnp.int32)[:, None, None, None] * (H * W)
+        + jnp.clip(yi, 0, H - 1) * W
+        + jnp.clip(xi, 0, W - 1)
+    )
+    ink = jnp.zeros((N * H * W,), jnp.float32).at[flat_idx.ravel()].add(
+        jnp.where(mask, cov, 0.0).ravel()
+    )
+    return jnp.clip(1.0 - ink.reshape(N, H, W), 0.0, 1.0)
+
+
+def render_implicit_sheets(
+    params: dict,
+    strings: list[str],
+    font_path: str,
+    cfg: siren.SirenConfig,
+    spec: SheetSpec = SheetSpec(),
+    scale: float = 1.0,
+    charset: str = PRINTABLE_ASCII,
+) -> np.ndarray:
+    """Strings -> [N, H*scale, W*scale] sheets from the implicit glyph bank."""
+    font = TrueTypeFont.load(font_path)
+    lay = build_layout(font, spec, cfg.cell, scale=scale)
+    ids, origins, valid = place_glyphs(strings, font, lay, spec, charset)
+    return np.asarray(
+        compose(
+            params,
+            jnp.asarray(ids),
+            jnp.asarray(origins),
+            jnp.asarray(valid),
+            cfg,
+            lay,
+        )
+    )
