@@ -151,6 +151,20 @@ def infer_model_config(params: dict, base: ModelConfig = ModelConfig()) -> Model
             chans.append(int(params[f"dec_w{i}"].shape[3]))
             i += 1
         kw["decoder_channels"] = tuple(chans)
+        # The latent grid is not recoverable from shapes (rows*cols folds
+        # into one reshape). Keep the base grid when it still tiles the
+        # inferred max_length; otherwise pick the divisor pair whose cell
+        # aspect best matches the sheet (callers with custom grids should
+        # pass an explicit base config).
+        gh, gw = base.decoder_grid
+        ml = kw["max_length"]
+        if gh * gw != ml:
+            target = base.sheet_height / base.sheet_width
+            pairs = [(d, ml // d) for d in range(1, ml + 1) if ml % d == 0]
+            gh, gw = min(pairs, key=lambda p: abs(p[0] / p[1] - target))
+            kw["decoder_grid"] = (gh, gw)
+    else:
+        kw["decoder"] = "linear"
     return dataclasses.replace(base, **kw)
 
 
@@ -360,6 +374,12 @@ def apply(
     # The dominant GEMM: [B, 6400] @ [6400, 19200]. bf16 inputs, f32
     # accumulation — the MXU's native mode.
     if cfg.use_pallas_output:
+        if cfg.leaky_clamp > 0.0 or cfg.bf16_cotangent:
+            raise ValueError(
+                "use_pallas_output hard-clamps inside the kernel and owns "
+                "its own VJP; it cannot combine with leaky_clamp or "
+                "bf16_cotangent"
+            )
         from ..ops.fused_output import fused_output
 
         sheet = fused_output(flat, params["out_w"], params["out_b"])

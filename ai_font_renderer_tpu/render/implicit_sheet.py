@@ -100,17 +100,19 @@ def place_glyphs(
     ids = np.zeros((n, G), np.int32)
     origins = np.zeros((n, G, 2), np.float32)
     valid = np.zeros((n, G), bool)
+    wrap_width = spec.width - 2 * spec.padding  # matches layout_to_grid
     for si, s in enumerate(strings):
         s = s[: spec.max_chars]
         g = 0
-        for li, line in enumerate(wrap_text(s, table, spec.width)):
+        for li, line in enumerate(wrap_text(s, table, wrap_width)):
             baseline = (li + 1) * spec.line_height * lay.scale
             pen = spec.padding
             for ch in line:
                 ci = idx.get(ch)
-                if ci is None:
-                    continue
-                if ch != " " and g < G:
+                # Unknown chars advance like a space (AdvanceTable maps
+                # them to index 0 when measuring) but place no glyph.
+                adv_i = 0 if ci is None else ci
+                if ci is not None and ch != " " and g < G:
                     # Window top-left so the glyph cell (advance-centered
                     # at bake time, glyphs.py:rasterize_charset) lands with
                     # its advance midpoint on the pen midpoint.
@@ -120,7 +122,7 @@ def place_glyphs(
                     origins[si, g, 1] = baseline - lay.cell_baseline * lay.r
                     valid[si, g] = True
                     g += 1
-                pen += adv_base[ci]
+                pen += adv_base[adv_i]
     return ids, origins, valid
 
 

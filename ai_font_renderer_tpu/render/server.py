@@ -65,8 +65,10 @@ class _Batcher:
     def stop(self):
         self._stop.set()
         self.q.put(None)
-        self._replies.put(None)
+        # Join the render loop BEFORE the reply sentinel: an in-flight
+        # drain may still be enqueueing replies, which must precede None.
         self.thread.join(timeout=5)
+        self._replies.put(None)
         self._reply_thread.join(timeout=5)
 
     def submit(self, strings: list[str], reply):
@@ -102,20 +104,26 @@ class _Batcher:
             for strings, reply in pending:
                 spans.append((len(flat), len(strings), reply))
                 flat.extend(strings)
-            # Phase 1: dispatch every chunk (async) — the device pipeline
-            # stays full while the host encodes subsequent chunks.
-            outs = []
-            for start in range(0, len(flat), self.batch_size):
-                chunk = flat[start : start + self.batch_size]
-                padded = chunk + [""] * (self.batch_size - len(chunk))
-                outs.append((start, len(chunk), self._render_u8(self.params, padded, self.mcfg)))
-            # Phase 2: fetch in order (uint8 — quantized on device).
+            # Double buffering with a bounded in-flight window: dispatch
+            # runs (at most 2) ahead of the ordered fetches, so the host
+            # encodes chunk N+1 while chunk N renders without holding the
+            # whole backlog's output buffers on device at once.
             sheets = np.empty(
                 (len(flat), self.mcfg.sheet_height, self.mcfg.sheet_width),
                 np.uint8,
             )
-            for start, count, dev in outs:
-                sheets[start : start + count] = np.asarray(dev)[:count]
+            inflight: list = []
+            for start in range(0, len(flat), self.batch_size):
+                chunk = flat[start : start + self.batch_size]
+                padded = chunk + [""] * (self.batch_size - len(chunk))
+                inflight.append(
+                    (start, len(chunk), self._render_u8(self.params, padded, self.mcfg))
+                )
+                if len(inflight) > 2:
+                    s0, c0, dev = inflight.pop(0)
+                    sheets[s0 : s0 + c0] = np.asarray(dev)[:c0]
+            for s0, c0, dev in inflight:
+                sheets[s0 : s0 + c0] = np.asarray(dev)[:c0]
             for start, count, reply in spans:
                 self._replies.put((reply, sheets[start : start + count]))
 

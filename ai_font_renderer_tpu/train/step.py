@@ -108,6 +108,12 @@ def init_fused_state(
             "fused_dw_adamw fuses the linear decoder's out_w update; "
             f"decoder={mcfg.decoder!r} has no out_w"
         )
+    if mcfg.leaky_clamp > 0.0:
+        raise ValueError(
+            "the fused step hand-codes the hard clamp's gradient mask "
+            "(train/step.py:_fused_step); leaky_clamp requires the "
+            "standard step"
+        )
     params = font_renderer.init(key, mcfg)
     rest = {k: v for k, v in params.items() if k != "out_w"}
     opt_state = make_optimizer(tcfg).init(rest)

@@ -148,6 +148,47 @@ def test_infer_model_config(params, cfg):
     assert (wide.embedding_dim, wide.num_heads, wide.hidden_dim) == (64, 8, 160)
 
 
+def test_infer_forces_linear_against_conv_base():
+    # A linear checkpoint must override a conv-decoder base config (the
+    # render path would otherwise KeyError on dec_in_w).
+    lin = font_renderer.init(jax.random.PRNGKey(0), ModelConfig())
+    inferred = font_renderer.infer_model_config(lin, ModelConfig(decoder="conv"))
+    assert inferred.decoder == "linear"
+    codes = jnp.zeros((1, 100), jnp.int32)
+    out = font_renderer.apply(lin, codes, inferred)
+    assert out.shape == (1, 80, 240)
+
+
+def test_infer_rederives_grid_for_nondefault_max_length():
+    base = ModelConfig(
+        decoder="conv", max_length=60, decoder_grid=(5, 12),
+        sheet_height=80, sheet_width=240,
+    )
+    params = font_renderer.init(jax.random.PRNGKey(0), base)
+    inferred = font_renderer.infer_model_config(params)  # default base grid (5,20)
+    gh, gw = inferred.decoder_grid
+    assert gh * gw == 60  # tiles the inferred max_length (reshape-safe)
+    assert 2 <= gh <= 10  # aspect heuristic: near-square cells, not (1, 60)
+    # The inferred config must actually run (the stale (5,20) grid would
+    # fail init validation and scramble conv_decode's reshape).
+    codes = jnp.zeros((1, 60), jnp.int32)
+    out = font_renderer.apply(params, codes, inferred)
+    assert out.shape == (1, 80, 240)
+
+
+def test_incompatible_flag_combos_raise(cfg):
+    from ai_font_renderer_tpu.models.font_renderer import apply as fr_apply
+
+    bad = ModelConfig(use_pallas_output=True, leaky_clamp=0.01)
+    params = font_renderer.init(jax.random.PRNGKey(0), ModelConfig())
+    with pytest.raises(ValueError, match="use_pallas_output"):
+        fr_apply(params, jnp.zeros((1, 100), jnp.int32), bad)
+    with pytest.raises(ValueError, match="leaky_clamp"):
+        train_step_mod.init_fused_state(
+            jax.random.PRNGKey(0), ModelConfig(leaky_clamp=0.01), TrainConfig()
+        )
+
+
 def test_leaky_clamp_train_only():
     cfg = ModelConfig(leaky_clamp=0.01)
     x = jnp.array([-2.0, 0.5, 3.0])

@@ -65,6 +65,18 @@ def test_placement_matches_monospace_grid():
     assert origins[0, 0, 1] == origins[0, 1, 1] == origins[0, 2, 1]
 
 
+def test_unknown_chars_advance_like_spaces():
+    font = TrueTypeFont.load(FIRACODE_PATH)
+    spec = SheetSpec()
+    lay = build_layout(font, spec, cell=32)
+    # '?' is outside CHARSET: it must advance the pen (like the measuring
+    # AdvanceTable does) while placing no glyph.
+    ids_q, org_q, val_q = place_glyphs(["A?B"], font, lay, spec, CHARSET)
+    ids_s, org_s, val_s = place_glyphs(["A B"], font, lay, spec, CHARSET)
+    assert val_q[0].sum() == val_s[0].sum() == 2
+    np.testing.assert_allclose(org_q[0, :2], org_s[0, :2], atol=1e-6)
+
+
 def test_composed_sheet_close_to_bitmap_truth(trained):
     params, cfg = trained
     strings = ["THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG"]
