@@ -373,9 +373,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--peak-lr", type=float, default=None)
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument(
-        "--decoder", choices=["linear", "conv"], default=None,
-        help="linear = reference parity (6400x19200 head); conv = "
-        "position-equivariant upsampling decoder (~460x fewer params)",
+        "--decoder", choices=["linear", "conv", "conv_ps"], default=None,
+        help="linear = reference parity (6400x19200 head); conv/conv_ps = "
+        "position-equivariant upsampling decoder (~460x fewer params; "
+        "conv_ps = pixel-shuffle variant, MXU-friendly channel widths)",
     )
     parser.add_argument(
         "--leaky-clamp", type=float, default=None,

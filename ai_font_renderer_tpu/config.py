@@ -99,6 +99,11 @@ class ModelConfig:
     # the structural fix for proportional layouts, where glyphs land at
     # arbitrary kerned x-offsets and the linear dictionary underfits
     # (RESULTS.md: Montserrat parity plateaus at val 0.0169, train == val).
+    # "conv_ps" is the same architecture family with pixel-shuffle
+    # upsampling: convs run at LOW resolution with cout*fy*fx channels then
+    # depth-to-space — identical FLOPs, but channel widths stay >= 64 so
+    # the MXU's 128-lane tiles stay full (the resize variant's 16-channel
+    # full-res convs run at ~11% utilization).
     decoder: str = "linear"
     # Latent grid for the conv decoder; rows*cols must equal max_length.
     # (5, 20) tiles the 80x240 sheet into 16x12-px cells.

@@ -61,6 +61,44 @@ def _decoder_plan(cfg: ModelConfig) -> list[tuple[int, int, int, int]]:
     return plan
 
 
+def _ps_factors(ratio: int, n: int) -> list[int]:
+    """Split an integer upsampling ratio into n per-stage integer factors
+    (2s first, any odd remainder in the last stage); product == ratio."""
+    fs = []
+    r = ratio
+    for _ in range(n - 1):
+        f = 2 if (r % 2 == 0 and r > 1) else 1
+        fs.append(f)
+        r //= f
+    fs.append(r)
+    return fs
+
+
+def _decoder_plan_ps(cfg: ModelConfig) -> list[tuple[int, int, int, int]]:
+    """Pixel-shuffle decoder plan: [(fy, fx, c_in, c_out), ...].
+
+    Each stage convolves at the CURRENT (low) resolution with
+    c_out * fy * fx output channels, then depth-to-space upsamples by
+    (fy, fx) — mathematically the same FLOPs as resize+conv at the target
+    resolution, but the conv's channel dimension stays >= 64 so the MXU's
+    128-lane tiles stay full (the resize variant runs 16-channel convs at
+    80x240 at ~11% utilization).
+    """
+    gh, gw = cfg.decoder_grid
+    if cfg.sheet_height % gh or cfg.sheet_width % gw:
+        raise ValueError(
+            f"decoder_grid {cfg.decoder_grid} must divide the sheet "
+            f"({cfg.sheet_height}x{cfg.sheet_width}) for conv_ps"
+        )
+    chans = cfg.decoder_channels
+    n = len(chans) - 1
+    fys = _ps_factors(cfg.sheet_height // gh, n)
+    fxs = _ps_factors(cfg.sheet_width // gw, n)
+    return [
+        (fys[i], fxs[i], chans[i], chans[i + 1]) for i in range(n)
+    ]
+
+
 def init(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
     """Initialize parameters (distributions follow torch's module defaults)."""
     e, h = cfg.embedding_dim, cfg.hidden_dim
@@ -68,7 +106,7 @@ def init(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
     pixels = cfg.sheet_height * cfg.sheet_width
     keys = jax.random.split(key, 12)
     xavier = (6.0 / (e + e)) ** 0.5  # MHA in_proj: xavier_uniform
-    if cfg.decoder == "conv":
+    if cfg.decoder in ("conv", "conv_ps"):
         gh, gw = cfg.decoder_grid
         if gh * gw != cfg.max_length:
             raise ValueError(
@@ -80,10 +118,17 @@ def init(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
         dkeys = jax.random.split(keys[10], 2 * len(cfg.decoder_channels) + 2)
         params["dec_in_w"] = _uniform(dkeys[0], (h, c0), 1.0 / h**0.5)
         params["dec_in_b"] = _uniform(dkeys[1], (c0,), 1.0 / h**0.5)
-        for i, (_, _, cin, cout) in enumerate(_decoder_plan(cfg)):
+        if cfg.decoder == "conv":
+            stages = [(cin, cout) for _, _, cin, cout in _decoder_plan(cfg)]
+        else:  # conv_ps: the shuffle factors fold into the output channels
+            stages = [
+                (cin, cout * fy * fx)
+                for fy, fx, cin, cout in _decoder_plan_ps(cfg)
+            ]
+        for i, (cin, kout) in enumerate(stages):
             bound = 1.0 / (9 * cin) ** 0.5  # torch conv default: U(+-1/sqrt(k*k*cin))
-            params[f"dec_w{i}"] = _uniform(dkeys[2 + 2 * i], (3, 3, cin, cout), bound)
-            params[f"dec_b{i}"] = _uniform(dkeys[3 + 2 * i], (cout,), bound)
+            params[f"dec_w{i}"] = _uniform(dkeys[2 + 2 * i], (3, 3, cin, kout), bound)
+            params[f"dec_b{i}"] = _uniform(dkeys[3 + 2 * i], (kout,), bound)
         clast = cfg.decoder_channels[-1]
         bound = 1.0 / (9 * clast) ** 0.5
         params["dec_out_w"] = _uniform(dkeys[-2], (3, 3, clast, 1), bound)
@@ -144,12 +189,19 @@ def infer_model_config(params: dict, base: ModelConfig = ModelConfig()) -> Model
     if int(e) != base.embedding_dim:
         kw["num_heads"] = max(1, int(e) // 8)
     if "dec_w0" in params:
-        kw["decoder"] = "conv"
-        chans = [int(params["dec_in_w"].shape[1])]
-        i = 0
-        while f"dec_w{i}" in params:
-            chans.append(int(params[f"dec_w{i}"].shape[3]))
-            i += 1
+        # Channel plan from the IN-channel chain (valid for both conv
+        # variants); the resize variant's kernels output exactly the next
+        # channel width, the pixel-shuffle variant's output that times the
+        # stage's upsampling factor — which disambiguates the family.
+        n = 0
+        while f"dec_w{n}" in params:
+            n += 1
+        chans = [int(params[f"dec_w{i}"].shape[2]) for i in range(n)]
+        chans.append(int(params["dec_out_w"].shape[2]))
+        is_resize = all(
+            int(params[f"dec_w{i}"].shape[3]) == chans[i + 1] for i in range(n)
+        )
+        kw["decoder"] = "conv" if is_resize else "conv_ps"
         kw["decoder_channels"] = tuple(chans)
         # The latent grid is not recoverable from shapes (rows*cols folds
         # into one reshape). Keep the base grid when it still tiles the
@@ -309,10 +361,21 @@ def conv_decode(params: dict, flat: jax.Array, cfg: ModelConfig) -> jax.Array:
     # accumulates f32 internally; conv's transpose rule rejects the
     # mixed-dtype preferred_element_type spelling under autodiff). The
     # final ink stage is f32.
-    for i, (h, w, _, _) in enumerate(_decoder_plan(cfg)):
-        x = jax.image.resize(x, (B, h, w, x.shape[-1]), "nearest")
-        x = conv(x, params[f"dec_w{i}"].astype(dt)) + params[f"dec_b{i}"].astype(dt)
-        x = jax.nn.relu(x)
+    if cfg.decoder == "conv":
+        for i, (h, w, _, _) in enumerate(_decoder_plan(cfg)):
+            x = jax.image.resize(x, (B, h, w, x.shape[-1]), "nearest")
+            x = conv(x, params[f"dec_w{i}"].astype(dt)) + params[f"dec_b{i}"].astype(dt)
+            x = jax.nn.relu(x)
+    else:  # conv_ps: conv at low res, then depth-to-space by (fy, fx)
+        for i, (fy, fx, _, cout) in enumerate(_decoder_plan_ps(cfg)):
+            x = conv(x, params[f"dec_w{i}"].astype(dt)) + params[f"dec_b{i}"].astype(dt)
+            x = jax.nn.relu(x)
+            if fy > 1 or fx > 1:
+                _, hh, ww, _ = x.shape
+                x = x.reshape(B, hh, ww, fy, fx, cout)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    B, hh * fy, ww * fx, cout
+                )
     out = conv(x.astype(jnp.float32), params["dec_out_w"]) + params["dec_out_b"]
     return out[..., 0]
 
@@ -368,7 +431,7 @@ def apply(
     B = codes.shape[0]
     flat = frontend(params, codes, cfg, train=train, key=key)
 
-    if cfg.decoder == "conv":
+    if cfg.decoder in ("conv", "conv_ps"):
         return _clamp(conv_decode(params, flat, cfg), cfg, train)
 
     # The dominant GEMM: [B, 6400] @ [6400, 19200]. bf16 inputs, f32

@@ -148,6 +148,60 @@ def test_infer_model_config(params, cfg):
     assert (wide.embedding_dim, wide.num_heads, wide.hidden_dim) == (64, 8, 160)
 
 
+class TestPixelShuffleVariant:
+    CFG = ModelConfig(decoder="conv_ps")
+
+    def test_plan_and_params(self):
+        plan = font_renderer._decoder_plan_ps(self.CFG)
+        # Factors multiply to the full upsampling ratio on each axis.
+        fy = fx = 1
+        for sfy, sfx, _, _ in plan:
+            fy, fx = fy * sfy, fx * sfx
+        assert (fy, fx) == (80 // 5, 240 // 20)
+        params = font_renderer.init(jax.random.PRNGKey(0), self.CFG)
+        # Same order of magnitude as the resize variant (factors fold into
+        # kernel output channels).
+        assert font_renderer.param_count(params) < 2_000_000
+        # Every conv's output width is MXU-friendly (>= 64 lanes).
+        i = 0
+        while f"dec_w{i}" in params:
+            assert params[f"dec_w{i}"].shape[3] >= 64
+            i += 1
+
+    def test_forward_and_train(self):
+        params = font_renderer.init(jax.random.PRNGKey(0), self.CFG)
+        codes = jnp.zeros((2, 100), jnp.int32).at[:, :6].set(67)
+        out = font_renderer.apply(params, codes, self.CFG)
+        assert out.shape == (2, 80, 240)
+        assert 0.0 <= float(out.min()) and float(out.max()) <= 1.0
+        tcfg = TrainConfig(batch_size=2)
+        state = train_step_mod.init_state(jax.random.PRNGKey(1), self.CFG, tcfg)
+        targets = jnp.zeros((2, 80, 240), jnp.float32)
+        losses = []
+        for i in range(6):
+            state, loss = train_step_mod.train_step(
+                state, codes, targets, jnp.float32(1e-3),
+                jax.random.PRNGKey(i), self.CFG, tcfg,
+            )
+            losses.append(float(loss))
+        assert losses[-1] < 0.5 * losses[0]
+
+    def test_infer_distinguishes_variants(self):
+        ps = font_renderer.init(jax.random.PRNGKey(0), self.CFG)
+        got = font_renderer.infer_model_config(ps)
+        assert got.decoder == "conv_ps"
+        assert got.decoder_channels == self.CFG.decoder_channels
+        rz = font_renderer.init(jax.random.PRNGKey(0), ModelConfig(decoder="conv"))
+        assert font_renderer.infer_model_config(rz).decoder == "conv"
+
+    def test_grid_must_divide_sheet(self):
+        bad = ModelConfig(
+            decoder="conv_ps", max_length=100, decoder_grid=(4, 25),
+        )
+        with pytest.raises(ValueError, match="divide the sheet"):
+            font_renderer.init(jax.random.PRNGKey(0), bad)
+
+
 def test_infer_forces_linear_against_conv_base():
     # A linear checkpoint must override a conv-decoder base config (the
     # render path would otherwise KeyError on dec_in_w).
