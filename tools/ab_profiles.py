@@ -30,6 +30,10 @@ PROFILES = {
     "cotangent": ModelConfig(
         bf16_frontend=True, bits_dropout=True, bf16_cotangent=True
     ),
+    "conv": ModelConfig(decoder="conv", bf16_frontend=True, bits_dropout=True),
+    "conv_ps": ModelConfig(
+        decoder="conv_ps", bf16_frontend=True, bits_dropout=True
+    ),
 }
 
 

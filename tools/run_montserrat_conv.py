@@ -8,8 +8,9 @@ dictionary and kerned x-offsets explode the dictionary), and the brute-force
 (embed 32, 4 heads, fc1 64) and swaps only the decoder for the
 position-equivariant conv pyramid — 266k params, ~460x fewer than parity.
 
-Usage: python tools/run_montserrat_conv.py [epochs] [lr]
-Artifacts in extended_runs/montserrat_conv/.
+Usage: python tools/run_montserrat_conv.py [epochs] [lr] [decoder]
+``decoder``: conv (resize+conv) or conv_ps (pixel-shuffle, MXU-friendly).
+Artifacts in extended_runs/montserrat_<decoder>/.
 """
 
 from __future__ import annotations
@@ -31,19 +32,18 @@ from ai_font_renderer_tpu.render import render_strings
 from ai_font_renderer_tpu.train import train
 from ai_font_renderer_tpu.utils.checkpoint import save_params
 
-OUT = "extended_runs/montserrat_conv"
-
-
 def main() -> None:
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-3
+    decoder = sys.argv[3] if len(sys.argv) > 3 else "conv"
+    out = f"extended_runs/montserrat_{decoder}"
     t0 = time.time()
     atlas = bake_prop_atlas(MONTSERRAT_PATH)
     ds = build_device_dataset_prop(atlas, num_samples=150000)
     print(f"[montserrat-conv] dataset resident in {time.time() - t0:.1f}s", flush=True)
 
     mcfg = ModelConfig(
-        decoder="conv",
+        decoder=decoder,
         bf16_frontend=True,
         bits_dropout=True,
         leaky_clamp=0.01,
@@ -55,16 +55,16 @@ def main() -> None:
         ds,
         mcfg,
         tcfg,
-        output_dir=OUT,
+        output_dir=out,
         eval_strings=TEST_STRINGS,
-        checkpoint_dir=f"{OUT}/ckpt",
+        checkpoint_dir=f"{out}/ckpt",
     )
-    render_strings(r.params, TEST_STRINGS, OUT, mcfg)
-    save_params(r.params, f"{OUT}/font_renderer_montserrat_conv.npz")
+    render_strings(r.params, TEST_STRINGS, out, mcfg)
+    save_params(r.params, f"{out}/font_renderer_montserrat_{decoder}.npz")
     print(
         json.dumps(
             {
-                "config": "montserrat-conv (parity frontend + conv decoder)",
+                "config": f"montserrat-{decoder} (parity frontend + {decoder} decoder)",
                 "params": param_count(r.params),
                 "final_epoch": r.final_epoch,
                 "best_val_loss": round(r.best_val_loss, 6),
