@@ -207,3 +207,35 @@ class TestShardMapStep:
         s = init_state(key, mcfg, tcfg)
         s, loss = step(s, codes, targets, jnp.float32(1e-3), key)
         assert np.isfinite(float(loss))
+
+
+def test_sharded_conv_decoder_step_matches_single_device(tiny):
+    """The conv decoder under DP: tiny kernels replicate (param_spec has no
+    entry for dec_*), the batch shards, and the step matches one device."""
+    ds, _, tcfg = tiny
+    mcfg = ModelConfig(
+        max_length=24, sheet_height=20, sheet_width=60,
+        decoder="conv", decoder_grid=(4, 6),
+        decoder_channels=(32, 32, 16, 8, 8),
+    )
+    idx = jnp.arange(16, dtype=jnp.int32)
+    codes, targets = ds.gather_batch(idx)
+    lr = jnp.float32(1e-3)
+    key = jax.random.PRNGKey(7)
+
+    ref_state = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
+    ref_state, ref_loss = train_step(ref_state, codes, targets, lr, key, mcfg, tcfg)
+
+    mesh = make_mesh(data=8, model=1)
+    st = shard_state(mesh, init_state(jax.random.PRNGKey(0), mcfg, tcfg))
+    sc, stt = shard_batch(mesh, codes, targets)
+    st, loss = train_step(st, sc, stt, lr, key, mcfg, tcfg)
+
+    # Slightly looser than the linear case: conv reductions reorder
+    # across the 8 batch shards.
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(st.params["dec_out_b"]),
+        np.asarray(ref_state.params["dec_out_b"]),
+        atol=5e-5,
+    )
