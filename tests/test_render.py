@@ -53,3 +53,24 @@ def test_render_atlas_chunking(params):
     direct = render_batch(params, strings, MCFG)
     assert chunked.shape == (10, 20, 60)
     np.testing.assert_allclose(chunked, direct, atol=1e-6)
+
+
+def test_render_batch_u8_matches_float_quantization():
+    """Device-side uint8 quantization (the serving fetch path) agrees with
+    host-side round(clip(x)*255) of the float render."""
+    import jax
+    import numpy as np
+    from ai_font_renderer_tpu.config import ModelConfig
+    from ai_font_renderer_tpu.models import font_renderer
+    from ai_font_renderer_tpu.render.render import render_batch, render_batch_u8_async
+
+    mcfg = ModelConfig()
+    params = font_renderer.init(jax.random.PRNGKey(3), mcfg)
+    strings = ["HELLO WORLD", "", "A" * 100]
+    f = render_batch(params, strings, mcfg)
+    u8 = np.asarray(render_batch_u8_async(params, strings, mcfg))
+    assert u8.dtype == np.uint8
+    host = np.round(np.clip(f, 0, 1) * 255).astype(np.uint8)
+    # Identical up to ties at the .5 rounding boundary.
+    assert np.mean(u8 != host) < 1e-3
+    assert np.abs(u8.astype(int) - host.astype(int)).max() <= 1
