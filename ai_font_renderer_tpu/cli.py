@@ -382,6 +382,10 @@ def main(argv: list[str] | None = None) -> int:
         "--leaky-clamp", type=float, default=None,
         help="training-only leaky output clamp slope (0 = reference-exact)",
     )
+    parser.add_argument(
+        "--max-seconds", type=float, default=None,
+        help="wall-clock training budget; clean stop + best-weights restore",
+    )
     try:
         args = parser.parse_args(argv)
     except SystemExit:
@@ -411,6 +415,8 @@ def main(argv: list[str] | None = None) -> int:
         mcfg = replace(mcfg, decoder=args.decoder)
     if args.leaky_clamp is not None:
         mcfg = replace(mcfg, leaky_clamp=args.leaky_clamp)
+    if args.max_seconds is not None:
+        tcfg = replace(tcfg, max_train_seconds=args.max_seconds)
     output_dir = args.output or default_output_dir()
     os.makedirs(output_dir, exist_ok=True)
 

@@ -167,6 +167,12 @@ class TrainConfig:
     # standard step; opt-in because the measured A/B currently favors XLA
     # (RESULTS.md).
     fused_dw_adamw: bool = False
+    # Wall-clock training budget in seconds (None = unlimited). Checked
+    # after each epoch: the run stops cleanly with best-weights restore and
+    # manifest semantics identical to early stopping. Useful when a
+    # plateau-scheduled run keeps finding marginal bests (each one resets
+    # the patience counter, so patience alone may never trigger).
+    max_train_seconds: float | None = None
     # How often to log + render eval strings (model.py:349 renders every 5).
     eval_every: int = 5
     # Checkpoint every N epochs (0 = only final). The reference only saves

@@ -10,6 +10,7 @@ steps the scheduler, and logs.
 from __future__ import annotations
 
 import dataclasses
+import time
 
 import jax
 import jax.numpy as jnp
@@ -176,6 +177,7 @@ def train(
     epoch = start_epoch - 1
     stopped = False
     watch = Stopwatch()
+    train_t0 = time.perf_counter()
 
     for epoch in range(start_epoch, tcfg.num_epochs):
         if cosine is not None:
@@ -283,6 +285,17 @@ def train(
             log(
                 f"Early stopping at epoch {epoch}, "
                 f"Best Val Loss: {early.best_loss:.6f}"
+            )
+            stopped = True
+            break
+
+        if (
+            tcfg.max_train_seconds is not None
+            and time.perf_counter() - train_t0 >= tcfg.max_train_seconds
+        ):
+            log(
+                f"Time budget ({tcfg.max_train_seconds:.0f}s) reached at "
+                f"epoch {epoch}, Best Val Loss: {early.best_loss:.6f}"
             )
             stopped = True
             break

@@ -330,3 +330,22 @@ def test_tensorboard_exporter(tmp_path):
     out = export(str(run))
     events = [p for p in os.listdir(out) if p.startswith("events.out")]
     assert events, "no event file written"
+
+
+def test_time_budget_stops_training(tiny_setup, tmp_path):
+    """max_train_seconds: clean stop with best-weights restore after the
+    first epoch that exhausts the budget."""
+    ds, mcfg, _ = tiny_setup
+    tcfg = TrainConfig(
+        batch_size=16,
+        num_samples=96,
+        num_epochs=500,
+        eval_every=1000,
+        checkpoint_every=0,
+        max_train_seconds=0.0,  # exhausted immediately after epoch 0
+    )
+    result = train(ds, mcfg, tcfg, output_dir=None, log=lambda *_: None)
+    assert result.early_stopped
+    assert result.final_epoch == 0
+    assert np.isfinite(result.best_val_loss)
+    assert result.params is not None
