@@ -8,8 +8,10 @@ dictionary and kerned x-offsets explode the dictionary), and the brute-force
 (embed 32, 4 heads, fc1 64) and swaps only the decoder for the
 position-equivariant conv pyramid — 266k params, ~460x fewer than parity.
 
-Usage: python tools/run_montserrat_conv.py [epochs] [lr] [decoder]
+Usage: python tools/run_montserrat_conv.py [epochs] [lr] [decoder] [--resume]
 ``decoder``: conv (resize+conv) or conv_ps (pixel-shuffle, MXU-friendly).
+``--resume``: continue from the run's latest checkpoint (format-v2 restore
+with best-weights snapshot and replay-consistent shuffles).
 Artifacts in extended_runs/montserrat_<decoder>/.
 """
 
@@ -33,9 +35,11 @@ from ai_font_renderer_tpu.train import train
 from ai_font_renderer_tpu.utils.checkpoint import save_params
 
 def main() -> None:
-    epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
-    lr = float(sys.argv[2]) if len(sys.argv) > 2 else 1e-3
-    decoder = sys.argv[3] if len(sys.argv) > 3 else "conv"
+    args = [a for a in sys.argv[1:] if a != "--resume"]
+    resume = "--resume" in sys.argv[1:]
+    epochs = int(args[0]) if len(args) > 0 else 1000
+    lr = float(args[1]) if len(args) > 1 else 1e-3
+    decoder = args[2] if len(args) > 2 else "conv"
     out = f"extended_runs/montserrat_{decoder}"
     t0 = time.time()
     atlas = bake_prop_atlas(MONTSERRAT_PATH)
@@ -58,6 +62,7 @@ def main() -> None:
         output_dir=out,
         eval_strings=TEST_STRINGS,
         checkpoint_dir=f"{out}/ckpt",
+        resume=resume,
     )
     render_strings(r.params, TEST_STRINGS, out, mcfg)
     save_params(r.params, f"{out}/font_renderer_montserrat_{decoder}.npz")
