@@ -35,12 +35,14 @@ from ai_font_renderer_tpu.train import train
 from ai_font_renderer_tpu.utils.checkpoint import save_params
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--resume"]
-    resume = "--resume" in sys.argv[1:]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    resume = "--resume" in flags
+    wide = "--wide" in flags  # 2x channel plan (~4M params) for capacity probes
     epochs = int(args[0]) if len(args) > 0 else 1000
     lr = float(args[1]) if len(args) > 1 else 1e-3
     decoder = args[2] if len(args) > 2 else "conv"
-    out = f"extended_runs/montserrat_{decoder}"
+    out = f"extended_runs/montserrat_{decoder}" + ("_wide" if wide else "")
     t0 = time.time()
     atlas = bake_prop_atlas(MONTSERRAT_PATH)
     ds = build_device_dataset_prop(atlas, num_samples=150000)
@@ -51,6 +53,9 @@ def main() -> None:
         bf16_frontend=True,
         bits_dropout=True,
         leaky_clamp=0.01,
+        decoder_channels=(
+            (256, 256, 128, 64, 32) if wide else ModelConfig.decoder_channels
+        ),
     )
     tcfg = TrainConfig(
         num_epochs=epochs, learning_rate=lr, eval_every=25, checkpoint_every=100
