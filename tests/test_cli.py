@@ -106,3 +106,49 @@ def test_eval_subcommand(tmp_path, capsys):
 def test_eval_missing_weights():
     rc = cli.main(["eval", "--weights", "/nonexistent.npz"])
     assert rc == 1
+
+
+def test_render_subcommand_with_conv_weights(tmp_path):
+    """A conv_ps checkpoint renders through the CLI with no config hints:
+    infer_model_config reconstructs the architecture from shapes."""
+    import jax
+
+    from ai_font_renderer_tpu.models import font_renderer
+    from ai_font_renderer_tpu.utils.checkpoint import save_params
+
+    weights = str(tmp_path / "conv.npz")
+    params = font_renderer.init(
+        jax.random.PRNGKey(0), ModelConfig(decoder="conv_ps")
+    )
+    save_params(params, weights)
+    out = str(tmp_path / "renders")
+    rc = cli.main(["render", "HI", "--weights", weights, "--out", out])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "string_0.bmp"))
+
+
+def test_train_flags_reach_configs(monkeypatch, tmp_path):
+    """--decoder/--lr/--leaky-clamp/--max-seconds plumb into the configs."""
+    seen = {}
+
+    def fake_run_training(mcfg, tcfg, output_dir, font, ckpt_dir, resume):
+        seen["mcfg"], seen["tcfg"] = mcfg, tcfg
+
+        class R:
+            params = {}
+
+        raise SystemExit(0)  # skip save/render
+
+    monkeypatch.setattr(cli, "run_training", fake_run_training)
+    with pytest.raises(SystemExit):
+        cli.main(
+            [
+                "--train", "--decoder", "conv_ps", "--lr", "0.0005",
+                "--leaky-clamp", "0.02", "--max-seconds", "90",
+                "--output", str(tmp_path / "o"),
+            ]
+        )
+    assert seen["mcfg"].decoder == "conv_ps"
+    assert seen["mcfg"].leaky_clamp == 0.02
+    assert seen["tcfg"].learning_rate == 0.0005
+    assert seen["tcfg"].max_train_seconds == 90
