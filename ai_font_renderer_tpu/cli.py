@@ -386,6 +386,11 @@ def main(argv: list[str] | None = None) -> int:
         "--max-seconds", type=float, default=None,
         help="wall-clock training budget; clean stop + best-weights restore",
     )
+    parser.add_argument(
+        "--decoder-channels", default=None,
+        help="conv decoder channel plan as comma-separated ints "
+        "(first = latent width, rest = one stage each)",
+    )
     try:
         args = parser.parse_args(argv)
     except SystemExit:
@@ -417,6 +422,9 @@ def main(argv: list[str] | None = None) -> int:
         mcfg = replace(mcfg, leaky_clamp=args.leaky_clamp)
     if args.max_seconds is not None:
         tcfg = replace(tcfg, max_train_seconds=args.max_seconds)
+    if args.decoder_channels:
+        chans = tuple(int(c) for c in args.decoder_channels.split(","))
+        mcfg = replace(mcfg, decoder_channels=chans)
     output_dir = args.output or default_output_dir()
     os.makedirs(output_dir, exist_ok=True)
 

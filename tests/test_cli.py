@@ -145,10 +145,12 @@ def test_train_flags_reach_configs(monkeypatch, tmp_path):
             [
                 "--train", "--decoder", "conv_ps", "--lr", "0.0005",
                 "--leaky-clamp", "0.02", "--max-seconds", "90",
+                "--decoder-channels", "256,256,128,64,32",
                 "--output", str(tmp_path / "o"),
             ]
         )
     assert seen["mcfg"].decoder == "conv_ps"
     assert seen["mcfg"].leaky_clamp == 0.02
+    assert seen["mcfg"].decoder_channels == (256, 256, 128, 64, 32)
     assert seen["tcfg"].learning_rate == 0.0005
     assert seen["tcfg"].max_train_seconds == 90
