@@ -98,9 +98,15 @@ def run_training(
     font: str = FIRACODE_PATH,
     checkpoint_dir: str | None = None,
     resume: bool = False,
+    mesh_shape: tuple[int, int] | None = None,
 ):
     from .train import train
 
+    mesh = None
+    if mesh_shape is not None and mesh_shape != (1, 1):
+        from .parallel import make_mesh
+
+        mesh = make_mesh(data=mesh_shape[0], model=mesh_shape[1])
     _, ds = _build_dataset(tcfg, font)
     print(
         "Training attention-based sheet renderer with reduced embedding "
@@ -115,6 +121,7 @@ def run_training(
         eval_strings=TEST_STRINGS,
         checkpoint_dir=checkpoint_dir,
         resume=resume,
+        mesh=mesh,
     )
     return result
 
@@ -201,15 +208,12 @@ def cmd_eval(args) -> int:
 
     from .fontgen.dataset import split_permutation, split_sizes
     from .train.step import eval_epoch
-    from .utils.checkpoint import load_params
+    from .utils.checkpoint import load_params_with_config
 
     if not os.path.exists(args.weights):
         print(f"Error: weights file not found: {args.weights}")
         return 1
-    from .models.font_renderer import infer_model_config
-
-    params = load_params(args.weights)
-    mcfg = infer_model_config(params)
+    params, mcfg = load_params_with_config(args.weights)
     tcfg = TrainConfig(num_samples=args.num_samples)
     # Synthesize ONLY the val split (the same 20% the training split_
     # permutation defines) — 5x less synthesis than rebuilding the corpus.
@@ -252,7 +256,7 @@ def cmd_eval(args) -> int:
 
 def cmd_render(args) -> int:
     from .render import render_strings
-    from .utils.checkpoint import load_params
+    from .utils.checkpoint import load_params_with_config
 
     if getattr(args, "truth", False):
         # Rasterizer ground truth with full shaping (GSUB ligatures + GPOS
@@ -275,12 +279,12 @@ def cmd_render(args) -> int:
             "Train one first: python model.py --train"
         )
         return 1
-    from .models.font_renderer import infer_model_config
+    params, mcfg = load_params_with_config(args.weights)
+    if getattr(args, "int8", False):
+        from .ops.quantized import quantize_params
 
-    params = load_params(args.weights)
-    render_strings(
-        params, args.strings or TEST_STRINGS, args.out, infer_model_config(params)
-    )
+        params = quantize_params(params)
+    render_strings(params, args.strings or TEST_STRINGS, args.out, mcfg)
     return 0
 
 
@@ -289,19 +293,18 @@ def cmd_serve(args) -> int:
     import time
 
     from .render.server import RenderServer
-    from .utils.checkpoint import load_params
+    from .utils.checkpoint import load_params_with_config
 
     if not os.path.exists(args.weights):
         print(f"Error: weights file not found: {args.weights}")
         return 1
-    from .models.font_renderer import infer_model_config
-
-    params = load_params(args.weights)
+    params, mcfg = load_params_with_config(args.weights)
     server = RenderServer(
         params,
-        infer_model_config(params),
+        mcfg,
         socket_path=args.socket,
         batch_size=args.batch_size,
+        int8=getattr(args, "int8", False),
     )
     server.start()
     print(f"Render server listening on {args.socket} (batch {args.batch_size})")
@@ -338,6 +341,12 @@ def main(argv: list[str] | None = None) -> int:
             "model inference",
         )
         p_ren.add_argument("--font", default=FIRACODE_PATH)
+        p_ren.add_argument(
+            "--int8",
+            action="store_true",
+            help="serve the linear head as an int8xint8 MXU GEMM "
+            "(per-channel weight scales, dynamic per-row activation scales)",
+        )
         p_ev = sub.add_parser("eval", help="val MSE/PSNR of saved weights")
         p_ev.add_argument("--weights", default="font_renderer.npz")
         p_ev.add_argument("--num-samples", type=int, default=150000)
@@ -348,6 +357,11 @@ def main(argv: list[str] | None = None) -> int:
         p_srv.add_argument("--weights", default="font_renderer.npz")
         p_srv.add_argument("--socket", default="/tmp/afr.sock")
         p_srv.add_argument("--batch-size", type=int, default=64)
+        p_srv.add_argument(
+            "--int8",
+            action="store_true",
+            help="quantize the linear head to int8 for serving",
+        )
         args = parser.parse_args(argv)
         return {
             "fontgen": cmd_fontgen,
@@ -391,6 +405,12 @@ def main(argv: list[str] | None = None) -> int:
         help="conv decoder channel plan as comma-separated ints "
         "(first = latent width, rest = one stage each)",
     )
+    parser.add_argument(
+        "--mesh", default=None, metavar="DATA,MODEL",
+        help="device mesh layout: DATA-way batch sharding x MODEL-way "
+        "output-projection sharding over jax.devices() (default 1,1 = "
+        "single device). DATA*MODEL must divide the device count.",
+    )
     try:
         args = parser.parse_args(argv)
     except SystemExit:
@@ -400,7 +420,7 @@ def main(argv: list[str] | None = None) -> int:
         return 1
 
     from .render import render_strings
-    from .utils.checkpoint import load_params, save_params
+    from .utils.checkpoint import load_params_with_config, save_params
 
     mcfg = ModelConfig()
     tcfg = TrainConfig()
@@ -425,28 +445,44 @@ def main(argv: list[str] | None = None) -> int:
     if args.decoder_channels:
         chans = tuple(int(c) for c in args.decoder_channels.split(","))
         mcfg = replace(mcfg, decoder_channels=chans)
+    mesh_shape = None
+    if args.mesh:
+        parts = args.mesh.split(",")
+        if len(parts) != 2:
+            print(f"Error: --mesh expects DATA,MODEL (got {args.mesh!r})")
+            return 1
+        mesh_shape = (int(parts[0]), int(parts[1]))
     output_dir = args.output or default_output_dir()
     os.makedirs(output_dir, exist_ok=True)
 
     if args.train:
         result = run_training(
-            mcfg, tcfg, output_dir, args.font, args.checkpoint_dir, args.resume
+            mcfg,
+            tcfg,
+            output_dir,
+            args.font,
+            args.checkpoint_dir,
+            args.resume,
+            mesh_shape=mesh_shape,
         )
-        save_params(result.params, args.weights)
+        save_params(result.params, args.weights, mcfg)
         render_strings(result.params, TEST_STRINGS, output_dir, mcfg)
     else:
         if os.path.exists(args.weights):
-            from .models.font_renderer import infer_model_config
-
-            params = load_params(args.weights)
-            mcfg = infer_model_config(params, mcfg)
+            params, mcfg = load_params_with_config(args.weights, mcfg)
         else:
             print("No saved model found. Training a new model...")
             result = run_training(
-                mcfg, tcfg, output_dir, args.font, args.checkpoint_dir, args.resume
+                mcfg,
+                tcfg,
+                output_dir,
+                args.font,
+                args.checkpoint_dir,
+                args.resume,
+                mesh_shape=mesh_shape,
             )
             params = result.params
-            save_params(params, args.weights)
+            save_params(params, args.weights, mcfg)
         render_strings(params, TEST_STRINGS, output_dir, mcfg)
     return 0
 

@@ -448,6 +448,12 @@ def apply(
         sheet = fused_output(flat, params["out_w"], params["out_b"])
         return sheet.reshape(B, cfg.sheet_height, cfg.sheet_width)
     if cfg.bf16_cotangent:
+        if not cfg.bf16_matmul:
+            raise ValueError(
+                "bf16_cotangent runs the forward projection in bf16 too; "
+                "it cannot combine with bf16_matmul=False (strict-f32 "
+                "parity mode)"
+            )
         sheet = _proj_bf16grad(flat, params["out_w"]) + params["out_b"]
     else:
         dt = jnp.bfloat16 if cfg.bf16_matmul else jnp.float32

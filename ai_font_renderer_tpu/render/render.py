@@ -22,17 +22,33 @@ from ..fontgen.layout import encode_codes
 from ..models import font_renderer
 
 
+def _forward(params: dict, codes: jax.Array, mcfg: ModelConfig) -> jax.Array:
+    """Inference forward, dispatching on the checkpoint's weight format.
+
+    Serving bundles produced by ops.quantized.quantize_params carry
+    ``out_w_q``/``out_w_scale`` instead of ``out_w``; those run the full
+    int8xint8 MXU projection (2x bf16 peak). Everything else takes the
+    standard apply path. The dict's key set is part of the jit pytree
+    structure, so each format compiles its own program — no runtime cost.
+    """
+    if "out_w_q" in params:
+        from ..ops.quantized import apply_quantized_int8
+
+        return apply_quantized_int8(params, codes, mcfg)
+    return font_renderer.apply(params, codes, mcfg, train=False)
+
+
 def render_batch(
     params: dict, strings: list[str], mcfg: ModelConfig = ModelConfig()
 ) -> np.ndarray:
     """Render strings in one jitted forward pass -> float32 [N, H, W]."""
     codes = jnp.asarray(encode_codes(strings, mcfg.max_length))
-    sheets = font_renderer.apply(params, codes, mcfg, train=False)
+    sheets = _forward(params, codes, mcfg)
     return np.asarray(sheets)
 
 
 def _apply_u8(params, codes, mcfg: ModelConfig):
-    sheets = font_renderer.apply(params, codes, mcfg, train=False)
+    sheets = _forward(params, codes, mcfg)
     return jnp.round(sheets * 255.0).astype(jnp.uint8)
 
 
@@ -87,9 +103,7 @@ def _chunked_apply(params, codes, mcfg, chunk: int):
     """Forward in fixed-shape chunks (one compilation), padding the tail."""
     n = codes.shape[0]
     outs = []
-    fn = jax.jit(
-        lambda p, c: font_renderer.apply(p, c, mcfg, train=False),
-    )
+    fn = jax.jit(lambda p, c: _forward(p, c, mcfg))
     for start in range(0, n, chunk):
         part = codes[start : start + chunk]
         if part.shape[0] < chunk:

@@ -43,10 +43,16 @@ class _Batcher:
     thread so socket IO never blocks the render loop.
     """
 
-    def __init__(self, params, mcfg: ModelConfig, batch_size: int = 64):
+    def __init__(
+        self, params, mcfg: ModelConfig, batch_size: int = 64, int8: bool = False
+    ):
         from . import render  # local import: jax only when serving
 
         self._render_u8 = render.render_batch_u8_async
+        if int8 and "out_w_q" not in params:
+            from ..ops.quantized import quantize_params
+
+            params = quantize_params(params)
         self.params = params
         self.mcfg = mcfg
         self.batch_size = batch_size
@@ -82,8 +88,8 @@ class _Batcher:
             reply, sheets = item
             try:
                 reply(sheets)
-            except (BrokenPipeError, ConnectionError, OSError):
-                pass  # client went away; keep serving others
+            except (BrokenPipeError, ConnectionError, OSError, socket.timeout):
+                pass  # client went away or stalled; keep serving others
 
     def _loop(self):
         while not self._stop.is_set():
@@ -159,9 +165,10 @@ class RenderServer:
         mcfg: ModelConfig = ModelConfig(),
         socket_path: str = "/tmp/afr.sock",
         batch_size: int = 64,
+        int8: bool = False,
     ):
         self.socket_path = socket_path
-        self.batcher = _Batcher(params, mcfg, batch_size)
+        self.batcher = _Batcher(params, mcfg, batch_size, int8=int8)
         self.mcfg = mcfg
         self._server: socketserver.ThreadingUnixStreamServer | None = None
 
@@ -173,6 +180,10 @@ class RenderServer:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                # All replies funnel through one reply thread; a stalled
+                # (connected but unread) client must raise out of sendall
+                # instead of head-of-line-blocking every other reply.
+                self.request.settimeout(30)
                 while True:
                     raw = _recv_msg(self.request)
                     if raw is None:
@@ -183,27 +194,32 @@ class RenderServer:
                     done = threading.Event()
 
                     def reply(sheets, sock=self.request, fmt=fmt, done=done):
-                        header = json.dumps(
-                            {
-                                "count": len(sheets),
-                                "height": mcfg.sheet_height,
-                                "width": mcfg.sheet_width,
-                                "format": fmt,
-                            }
-                        ).encode()
-                        _send_msg(sock, header)
-                        if fmt == "bmp":
-                            from ..fontgen.bmp import encode_bmp
+                        # done.set() in finally: if the send raises, the
+                        # handler must not sit out the full 60 s wait on a
+                        # connection that is already dead.
+                        try:
+                            header = json.dumps(
+                                {
+                                    "count": len(sheets),
+                                    "height": mcfg.sheet_height,
+                                    "width": mcfg.sheet_width,
+                                    "format": fmt,
+                                }
+                            ).encode()
+                            _send_msg(sock, header)
+                            if fmt == "bmp":
+                                from ..fontgen.bmp import encode_bmp
 
-                            for sheet in sheets:
-                                _send_msg(sock, encode_bmp(sheet))
-                        else:
-                            if sheets.dtype != np.uint8:
-                                sheets = np.round(
-                                    np.clip(sheets, 0, 1) * 255
-                                ).astype(np.uint8)
-                            sock.sendall(sheets.tobytes())
-                        done.set()
+                                for sheet in sheets:
+                                    _send_msg(sock, encode_bmp(sheet))
+                            else:
+                                if sheets.dtype != np.uint8:
+                                    sheets = np.round(
+                                        np.clip(sheets, 0, 1) * 255
+                                    ).astype(np.uint8)
+                                sock.sendall(sheets.tobytes())
+                        finally:
+                            done.set()
 
                     batcher.submit(strings, reply)
                     done.wait(timeout=60)

@@ -73,6 +73,12 @@ def train(
     # batch 1024 the train split is 960 and a dataset-level clamp would make
     # the epoch reshape fail.
     batch_size = max(1, min(tcfg.batch_size, train_size))
+    if mesh is not None:
+        # Batches shard over the 'data' axis; round the (possibly clamped)
+        # batch down to a multiple of it so every device gets equal rows —
+        # otherwise GSPMD rejects the sharding outright (non-divisible dim).
+        data_par = int(mesh.shape.get("data", 1))
+        batch_size = max(data_par, (batch_size // data_par) * data_par)
     log(f"Dataset split: {train_size} training samples, {val_size} validation samples")
 
     perm = split_permutation(n, tcfg.seed)
@@ -99,6 +105,15 @@ def train(
     key = jax.random.key(tcfg.seed, impl=tcfg.prng_impl)
     init_key = jax.random.PRNGKey(tcfg.seed)  # param init stays threefry
     use_fused = tcfg.fused_dw_adamw
+    if use_fused and mesh is not None and np.prod(mesh.devices.shape) > 1:
+        # The fused dW+AdamW Pallas kernel owns out_w's update in plain
+        # per-device memory; under GSPMD a 'model'-sharded out_w would be
+        # silently gathered into every device. Unsupported until the kernel
+        # is shard_map'd — fail loudly rather than quietly unsharding.
+        raise ValueError(
+            "fused_dw_adamw is single-device only; train on a mesh with "
+            "the standard step (TrainConfig(fused_dw_adamw=False))"
+        )
     state = (
         train_step_mod.init_fused_state(init_key, mcfg, tcfg)
         if use_fused

@@ -24,23 +24,99 @@ import orbax.checkpoint as ocp
 
 MODEL_FILENAME = "font_renderer.npz"  # analog of helpers.py:18
 
+# Architecture fields persisted inside the npz as a JSON sidecar entry.
+# Runtime knobs (bf16_matmul, fused_attention, ...) are deliberately NOT
+# saved: they change execution, not the function the weights define.
+_CONFIG_KEY = "__config__"
+_CONFIG_FIELDS = (
+    "vocab_size",
+    "embedding_dim",
+    "num_heads",
+    "max_length",
+    "hidden_dim",
+    "sheet_height",
+    "sheet_width",
+    "decoder",
+    "decoder_grid",
+    "decoder_channels",
+)
 
-def save_params(params: dict, filename: str = MODEL_FILENAME) -> None:
-    """Save model weights to a single npz file (cf. helpers.py:76-79)."""
+
+def save_params(params: dict, filename: str = MODEL_FILENAME, mcfg=None) -> None:
+    """Save model weights to a single npz file (cf. helpers.py:76-79).
+
+    When ``mcfg`` (a ModelConfig) is given, its architecture fields are
+    embedded as a ``__config__`` JSON entry so loading never has to guess
+    hyperparameters that shapes can't determine (num_heads, decoder_grid).
+    Old files without the entry still load (infer_model_config fallback).
+    """
     flat = {k: np.asarray(v) for k, v in params.items()}
+    if mcfg is not None:
+        cfg_json = json.dumps(
+            {f: getattr(mcfg, f) for f in _CONFIG_FIELDS}
+        )
+        flat[_CONFIG_KEY] = np.array(cfg_json)
     d = os.path.dirname(filename)
     if d:
         os.makedirs(d, exist_ok=True)
+    if filename.endswith(".pth"):
+        from .torch_interop import save_pth
+
+        save_pth(params, filename, mcfg)
+        print(f"Model saved to {filename}")
+        return
     np.savez(filename, **flat)
     print(f"Model saved to {filename}")
 
 
 def load_params(filename: str = MODEL_FILENAME) -> dict:
-    """Load model weights saved by :func:`save_params` (cf. helpers.py:81-105)."""
-    z = np.load(filename)
-    params = {k: jax.numpy.asarray(z[k]) for k in z.files}
-    print(f"Model loaded from {filename}")
+    """Load model weights saved by :func:`save_params` (cf. helpers.py:81-105).
+
+    Also accepts a reference-produced torch state_dict (``*.pth``) via the
+    torch interop shim (utils/torch_interop.py).
+    """
+    params, _ = load_params_with_config(filename, base=None)
     return params
+
+
+def load_params_with_config(filename: str = MODEL_FILENAME, base="default"):
+    """Load weights plus their architecture config -> (params, mcfg | None).
+
+    Priority: the embedded ``__config__`` entry (exact, written by
+    save_params), else shape inference via ``infer_model_config`` (which
+    must guess num_heads / decoder_grid). ``base=None`` skips config
+    recovery entirely and returns (params, None).
+    """
+    import dataclasses
+
+    from ..config import ModelConfig
+
+    if filename.endswith(".pth"):
+        from .torch_interop import load_pth
+
+        params = load_pth(filename)
+        cfg_json = None
+    else:
+        z = np.load(filename)
+        cfg_json = (
+            str(z[_CONFIG_KEY][()]) if _CONFIG_KEY in z.files else None
+        )
+        params = {
+            k: jax.numpy.asarray(z[k]) for k in z.files if k != _CONFIG_KEY
+        }
+    print(f"Model loaded from {filename}")
+    if base is None:
+        return params, None
+    base_cfg = ModelConfig() if base == "default" else base
+    if cfg_json is not None:
+        kw = json.loads(cfg_json)
+        for tup_field in ("decoder_grid", "decoder_channels"):
+            if tup_field in kw:
+                kw[tup_field] = tuple(kw[tup_field])
+        return params, dataclasses.replace(base_cfg, **kw)
+    from ..models.font_renderer import infer_model_config
+
+    return params, infer_model_config(params, base_cfg)
 
 
 class CheckpointManager:

@@ -24,16 +24,19 @@ BASELINE_GLYPHS_PER_SEC = 10_000.0  # driver target (BASELINE.md)
 
 
 def main() -> None:
-    mcfg = ModelConfig()
     # Trained weights if present, random otherwise — throughput is
-    # weight-independent.
+    # weight-independent. The checkpoint's own architecture (embedded config
+    # or shape inference) drives the forward: a conv/conv_ps checkpoint at
+    # the default weights path must bench its actual model, not KeyError on
+    # a missing linear head.
     import os
 
     if os.path.exists("font_renderer.npz"):
-        from ai_font_renderer_tpu.utils.checkpoint import load_params
+        from ai_font_renderer_tpu.utils.checkpoint import load_params_with_config
 
-        params = load_params("font_renderer.npz")
+        params, mcfg = load_params_with_config("font_renderer.npz")
     else:
+        mcfg = ModelConfig()
         params = font_renderer.init(jax.random.PRNGKey(0), mcfg)
 
     batch = 1024
@@ -78,26 +81,37 @@ def main() -> None:
         quantize_params,
     )
 
-    served = quantize_params(params)
+    # int8 quantizes the linear head; a conv checkpoint has none, so the
+    # int8 row falls back to random flagship-linear weights (throughput is
+    # weight-independent).
+    if "out_w" in params:
+        q8_mcfg, q8_params = mcfg, params
+    else:
+        q8_mcfg = ModelConfig()
+        q8_params = font_renderer.init(jax.random.PRNGKey(0), q8_mcfg)
+    served = quantize_params(q8_params)
 
     @jax.jit
     def fwd_chain_q8(p, c):
-        out = apply_quantized_int8(p, c, mcfg)
-        delta = (out[:, :1, : mcfg.max_length] * 7).astype(jnp.int32)
+        out = apply_quantized_int8(p, c, q8_mcfg)
+        delta = (out[:, :1, : q8_mcfg.max_length] * 7).astype(jnp.int32)
         nxt = (c + delta.reshape(c.shape)) % 26 + 65
         return out, nxt
 
-    out, c = fwd_chain_q8(served, codes)
+    q8_codes = jax.random.randint(
+        key, (batch, q8_mcfg.max_length), 65, 91, jnp.int32
+    )
+    out, c = fwd_chain_q8(served, q8_codes)
     jax.block_until_ready((out, c))
     q8_dt = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        cc = codes
+        cc = q8_codes
         for _ in range(iters):
             out, cc = fwd_chain_q8(served, cc)
         float(out.mean())
         q8_dt = min(q8_dt, time.perf_counter() - t0)
-    int8_glyphs_per_sec = batch * iters * glyphs_per_sheet / q8_dt
+    int8_glyphs_per_sec = batch * iters * q8_mcfg.max_length / q8_dt
 
     # Secondary: train-step throughput at the flagship batch size, measured
     # on the SAME path the real loop runs (train/loop.py): the whole-epoch
@@ -106,15 +120,22 @@ def main() -> None:
     # production path never pays.
     from ai_font_renderer_tpu.train import init_state, train_epoch
 
+    # Train-step throughput is always measured on the flagship LINEAR
+    # architecture (fresh random state) so the number stays comparable
+    # across rounds regardless of which checkpoint sits at the weights path.
+    train_mcfg = ModelConfig()
     tcfg = TrainConfig()
-    state = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
     tb = tcfg.batch_size
     n_fake = 4 * tb
     codes_all = jax.random.randint(
-        key, (n_fake, mcfg.max_length), 65, 91, jnp.int32
+        key, (n_fake, train_mcfg.max_length), 65, 91, jnp.int32
     )
     targets_all = jax.random.randint(
-        key, (n_fake, mcfg.sheet_height, mcfg.sheet_width), 0, 256, jnp.int32
+        key,
+        (n_fake, train_mcfg.sheet_height, train_mcfg.sheet_width),
+        0,
+        256,
+        jnp.int32,
     ).astype(jnp.uint8)
     steps = 20
     batch_idx = (
@@ -122,27 +143,39 @@ def main() -> None:
     )
     lr = jnp.float32(1e-3)
     step_key = jax.random.key(1, impl=tcfg.prng_impl)
-    # Warmup/compile; the scan chains state through all `steps` batches, so
-    # the timed windows below are data-dependent end to end.
-    state, loss = train_epoch(
-        state, codes_all, targets_all, batch_idx, lr, step_key, mcfg, tcfg
-    )
-    float(loss)
-    train_dt = float("inf")
-    for i in range(4):  # best-of-4: the remote-tunnel runtime adds ~4% noise
-        t0 = time.perf_counter()
-        state, loss = train_epoch(
-            state,
-            codes_all,
-            targets_all,
-            batch_idx,
-            lr,
-            jax.random.fold_in(step_key, i),
-            mcfg,
-            tcfg,
+
+    def time_train(m):
+        # Warmup/compile; the scan chains state through all `steps`
+        # batches, so the timed windows are data-dependent end to end.
+        st = init_state(jax.random.PRNGKey(0), m, tcfg)
+        st, loss = train_epoch(
+            st, codes_all, targets_all, batch_idx, lr, step_key, m, tcfg
         )
-        float(loss)  # scalar fetch forces the chained scan
-        train_dt = min(train_dt, time.perf_counter() - t0)
+        float(loss)
+        dt = float("inf")
+        for i in range(4):  # best-of-4: the remote tunnel adds ~4% noise
+            t0 = time.perf_counter()
+            st, loss = train_epoch(
+                st,
+                codes_all,
+                targets_all,
+                batch_idx,
+                lr,
+                jax.random.fold_in(step_key, i),
+                m,
+                tcfg,
+            )
+            float(loss)  # scalar fetch forces the chained scan
+            dt = min(dt, time.perf_counter() - t0)
+        return dt
+
+    # Parity profile (reference-default flags) is the headline train number;
+    # the shipped fast profile (bf16 frontend + bits dropout, measured
+    # quality-neutral, RESULTS.md) is reported alongside.
+    train_dt = time_train(train_mcfg)
+    fast_dt = time_train(
+        ModelConfig(bf16_frontend=True, bits_dropout=True)
+    )
 
     print(
         json.dumps(
@@ -155,6 +188,7 @@ def main() -> None:
                 "int8_serving_glyphs_per_sec": round(int8_glyphs_per_sec, 1),
                 "train_steps_per_sec": round(steps / train_dt, 2),
                 "train_samples_per_sec": round(steps * tb / train_dt, 1),
+                "fast_train_steps_per_sec": round(steps / fast_dt, 2),
                 "device": str(jax.devices()[0]),
             }
         )

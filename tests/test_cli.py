@@ -131,7 +131,9 @@ def test_train_flags_reach_configs(monkeypatch, tmp_path):
     """--decoder/--lr/--leaky-clamp/--max-seconds plumb into the configs."""
     seen = {}
 
-    def fake_run_training(mcfg, tcfg, output_dir, font, ckpt_dir, resume):
+    def fake_run_training(
+        mcfg, tcfg, output_dir, font, ckpt_dir, resume, mesh_shape=None
+    ):
         seen["mcfg"], seen["tcfg"] = mcfg, tcfg
 
         class R:
@@ -154,3 +156,72 @@ def test_train_flags_reach_configs(monkeypatch, tmp_path):
     assert seen["mcfg"].decoder_channels == (256, 256, 128, 64, 32)
     assert seen["tcfg"].learning_rate == 0.0005
     assert seen["tcfg"].max_train_seconds == 90
+
+
+def test_mesh_flag_plumbs(monkeypatch, tmp_path):
+    """--mesh DATA,MODEL reaches run_training as a (data, model) tuple."""
+    seen = {}
+
+    def fake_run_training(
+        mcfg, tcfg, output_dir, font, ckpt_dir, resume, mesh_shape=None
+    ):
+        seen["mesh_shape"] = mesh_shape
+        raise SystemExit(0)
+
+    monkeypatch.setattr(cli, "run_training", fake_run_training)
+    with pytest.raises(SystemExit):
+        cli.main(["--train", "--mesh", "4,2", "--output", str(tmp_path / "o")])
+    assert seen["mesh_shape"] == (4, 2)
+
+
+def test_mesh_flag_malformed():
+    assert cli.main(["--train", "--mesh", "3"]) == 1
+
+
+def test_train_cli_on_mesh_matches_single_device(tmp_path, monkeypatch):
+    """`--train --mesh 4,2` trains DP x TP on the 8-device virtual mesh from
+    the product surface, and the loss matches the mesh-less run (identical
+    data, init, and dropout keys; GSPMD only changes the reduction layout)."""
+    import json
+
+    monkeypatch.chdir(tmp_path)  # --train writes font_renderer.npz to CWD
+
+    def run(mesh_args, tag):
+        out = str(tmp_path / f"out_{tag}")
+        rc = cli.main(
+            [
+                # 160 samples -> train split 128, so the clamped batch is
+                # already a multiple of the 4-wide data axis and the meshed
+                # run sees byte-identical batches to the base run.
+                "--train", "--samples", "160", "--epochs", "2",
+                "--output", out, "--weights", str(tmp_path / f"w_{tag}.npz"),
+            ]
+            + mesh_args
+        )
+        assert rc == 0
+        lines = [
+            json.loads(l)
+            for l in open(os.path.join(out, "metrics.jsonl"))
+        ]
+        return lines[-1]["val_loss"]
+
+    base = run([], "base")
+    meshed = run(["--mesh", "4,2"], "mesh")
+    assert np.isfinite(base) and np.isfinite(meshed)
+    np.testing.assert_allclose(meshed, base, rtol=2e-4)
+
+
+def test_render_int8_flag(tmp_path):
+    """--int8 serves the linear head via the int8xint8 path end-to-end."""
+    import jax
+
+    from ai_font_renderer_tpu.models import font_renderer
+    from ai_font_renderer_tpu.utils.checkpoint import save_params
+
+    weights = str(tmp_path / "w.npz")
+    mcfg = ModelConfig()
+    save_params(font_renderer.init(jax.random.PRNGKey(0), mcfg), weights, mcfg)
+    out = str(tmp_path / "renders8")
+    rc = cli.main(["render", "HELLO", "--weights", weights, "--out", out, "--int8"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "string_0.bmp"))

@@ -239,3 +239,25 @@ def test_sharded_conv_decoder_step_matches_single_device(tiny):
         np.asarray(ref_state.params["dec_out_b"]),
         atol=5e-5,
     )
+
+
+def test_train_refuses_mesh_plus_fused(tmp_path):
+    """fused_dw_adamw's Pallas kernel is single-device; a multi-device mesh
+    must raise instead of silently gathering the sharded out_w."""
+    import pytest
+
+    from ai_font_renderer_tpu.config import ModelConfig, TrainConfig
+    from ai_font_renderer_tpu.fontgen.dataset import DeviceDataset
+    from ai_font_renderer_tpu.train import train
+
+    mesh = make_mesh(data=4, model=2)
+    mcfg = ModelConfig(max_length=24, sheet_height=16, sheet_width=48)
+    tcfg = TrainConfig(
+        num_samples=64, batch_size=16, num_epochs=1, fused_dw_adamw=True
+    )
+    ds = DeviceDataset(
+        codes=jnp.full((64, 24), 65, jnp.int32),
+        targets_u8=jnp.full((64, 16, 48), 128, jnp.uint8),
+    )
+    with pytest.raises(ValueError, match="fused_dw_adamw is single-device"):
+        train(ds, mcfg, tcfg, mesh=mesh, log=lambda *a, **k: None)
