@@ -167,6 +167,15 @@ class TrainConfig:
     # standard step; opt-in because the measured A/B currently favors XLA
     # (RESULTS.md).
     fused_dw_adamw: bool = False
+    # Hand-rolled projection backward: the clamp-mask/MSE chain is written
+    # out explicitly (no autodiff/custom-VJP boundary), the masked
+    # cotangent is cast to bf16 ONCE, and both projection backward GEMMs
+    # (dX, dW) run native bf16 x bf16 on the MXU. Round-3 roofline
+    # (RESULTS.md): the autodiff dX GEMM runs at 2.3x its roofline on the
+    # f32 cotangent. Requires decoder='linear', leaky_clamp=0. Numerics
+    # delta vs the standard step: bf16 rounding of the projection
+    # cotangent only.
+    handrolled_bwd: bool = False
     # Wall-clock training budget in seconds (None = unlimited). Checked
     # after each epoch: the run stops cleanly with best-weights restore and
     # manifest semantics identical to early stopping. Useful when a

@@ -100,6 +100,71 @@ def train_step(
     return TrainState(params, opt_state), loss
 
 
+def _handrolled_step(state: TrainState, codes, targets, lr, key, mcfg, tcfg):
+    """Standard-state step with a hand-rolled projection backward.
+
+    Round-3 roofline finding (RESULTS.md, tools/roofline_bwd.py): under
+    plain autodiff the dX GEMM consumes the f32 loss cotangent and runs at
+    2.3x its bf16 roofline (2.93 vs 1.28 ms), and the round-2
+    ``bf16_cotangent`` custom-VJP fix measured NEGATIVE because the VJP
+    boundary kept the clamp-mask/MSE chain from fusing into the GEMMs.
+    This step removes the boundary entirely: the projection + clamp + MSE
+    forward AND backward are written out by hand (the same spelling the
+    fused-kernel path uses, train/step.py:_fused_step), so the masked
+    cotangent is computed once, cast to bf16, and feeds BOTH projection
+    backward GEMMs as native bf16 x bf16 MXU work. The frontend still
+    differentiates through jax.vjp; out_w's gradient goes through plain
+    XLA + optax (no Pallas kernel — that part of the fused path was the
+    measured regression).
+
+    Same optimizer math as train_step; the only numerics delta is the
+    bf16 rounding of the projection cotangent. Opt-in:
+    TrainConfig.handrolled_bwd.
+    """
+    if mcfg.decoder != "linear" or mcfg.leaky_clamp > 0.0 or mcfg.use_pallas_output:
+        raise ValueError(
+            "handrolled_bwd hand-codes the linear projection + hard-clamp "
+            "backward; it requires decoder='linear', leaky_clamp=0, and "
+            "use_pallas_output=False"
+        )
+    params = state.params
+    rest = {k: v for k, v in params.items() if k != "out_w"}
+
+    def front(rest_params):
+        return font_renderer.frontend(rest_params, codes, mcfg, train=True, key=key)
+
+    flat, vjp = jax.vjp(front, rest)
+    dt = jnp.bfloat16 if mcfg.bf16_matmul else jnp.float32
+    flat_dt = flat.astype(dt)
+    pre = (
+        jnp.dot(
+            flat_dt, params["out_w"].astype(dt), preferred_element_type=jnp.float32
+        )
+        + params["out_b"]
+    )
+    out = jnp.clip(pre, 0.0, 1.0)
+    tflat = targets.reshape(targets.shape[0], -1).astype(jnp.float32)
+    d = out - tflat
+    loss = jnp.mean(d * d)
+    gm = jnp.where((out > 0.0) & (out < 1.0), (2.0 / d.size) * d, 0.0)
+    gm_dt = gm.astype(dt)  # ONE cast feeds both backward GEMMs
+    dflat = jnp.dot(
+        gm_dt, params["out_w"].T.astype(dt), preferred_element_type=jnp.float32
+    )
+    (grads_rest,) = vjp(dflat)
+    grads = dict(grads_rest)
+    grads["out_b"] = jnp.sum(gm, axis=0)
+    grads["out_w"] = jax.lax.dot_general(
+        flat_dt, gm_dt, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    opt = make_optimizer(tcfg)
+    updates, opt_state = opt.update(grads, state.opt_state, params)
+    updates = jax.tree.map(lambda u: lr * u, updates)
+    new_params = optax.apply_updates(params, updates)
+    return TrainState(new_params, opt_state), loss
+
+
 def init_fused_state(
     key: jax.Array, mcfg: ModelConfig, tcfg: TrainConfig
 ) -> FusedTrainState:
@@ -249,6 +314,9 @@ def _train_scan(state, codes_all, targets_all, batch_idx, lr, key, mcfg, tcfg):
         k, sub = jax.random.split(k)
         codes = jnp.take(codes_all, idx, axis=0)
         targets = jnp.take(targets_all, idx, axis=0).astype(jnp.float32) / 255.0
+        if tcfg.handrolled_bwd:
+            st, loss = _handrolled_step(st, codes, targets, lr, sub, mcfg, tcfg)
+            return (st, k), loss
         loss, grads = jax.value_and_grad(loss_fn)(
             st.params, codes, targets, mcfg, sub, True
         )

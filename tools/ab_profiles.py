@@ -24,23 +24,36 @@ import jax.numpy as jnp
 from ai_font_renderer_tpu.config import ModelConfig, TrainConfig
 from ai_font_renderer_tpu.train.step import init_state, train_eval_epoch
 
+# name -> (ModelConfig, TrainConfig)
 PROFILES = {
-    "parity": ModelConfig(),
-    "fast": ModelConfig(bf16_frontend=True, bits_dropout=True),
-    "cotangent": ModelConfig(
-        bf16_frontend=True, bits_dropout=True, bf16_cotangent=True
+    "parity": (ModelConfig(), TrainConfig()),
+    "fast": (ModelConfig(bf16_frontend=True, bits_dropout=True), TrainConfig()),
+    "cotangent": (
+        ModelConfig(bf16_frontend=True, bits_dropout=True, bf16_cotangent=True),
+        TrainConfig(),
     ),
-    "conv": ModelConfig(decoder="conv", bf16_frontend=True, bits_dropout=True),
-    "conv_ps": ModelConfig(
-        decoder="conv_ps", bf16_frontend=True, bits_dropout=True
+    "conv": (
+        ModelConfig(decoder="conv", bf16_frontend=True, bits_dropout=True),
+        TrainConfig(),
+    ),
+    "conv_ps": (
+        ModelConfig(decoder="conv_ps", bf16_frontend=True, bits_dropout=True),
+        TrainConfig(),
+    ),
+    # Round 3: hand-rolled projection backward (bf16 cotangent into both
+    # GEMMs, chain hand-fused — no autodiff boundary). See RESULTS.md
+    # roofline table.
+    "handrolled": (ModelConfig(), TrainConfig(handrolled_bwd=True)),
+    "fast_handrolled": (
+        ModelConfig(bf16_frontend=True, bits_dropout=True),
+        TrainConfig(handrolled_bwd=True),
     ),
 }
 
 
 def main() -> None:
-    names = sys.argv[1:] or ["fast", "cotangent"]
-    tcfg = TrainConfig()
-    b = tcfg.batch_size
+    names = sys.argv[1:] or ["fast", "fast_handrolled"]
+    b = TrainConfig().batch_size
     steps = 20
     key = jax.random.PRNGKey(0)
     n = 4 * b
@@ -53,11 +66,11 @@ def main() -> None:
     val_idx = batch_idx[:2]
     val_w = jnp.ones((2, b), jnp.float32)
     lr = jnp.float32(1e-3)
-    skey = jax.random.key(1, impl=tcfg.prng_impl)
+    skey = jax.random.key(1, impl=TrainConfig().prng_impl)
 
     states = {}
     for nm in names:
-        mcfg = PROFILES[nm]
+        mcfg, tcfg = PROFILES[nm]
         st = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
         # compile + warm
         st, tl, _ = train_eval_epoch(
@@ -68,7 +81,7 @@ def main() -> None:
     best = {nm: float("inf") for nm in names}
     for r in range(5):  # alternate profiles each round
         for nm in names:
-            mcfg = PROFILES[nm]
+            mcfg, tcfg = PROFILES[nm]
             t0 = time.perf_counter()
             states[nm], tl, _ = train_eval_epoch(
                 states[nm], codes, targets, batch_idx, val_idx, val_w, lr,
