@@ -90,6 +90,14 @@ class ModelConfig:
     # at tile 128, bwd 31.6 MB at tile 16, vs a 16 MB limit. Tile 8 fits
     # both directions.
     fused_attention_tile: int = 8
+    # v2 fused attention (ops/fused_attention.py:fused_attention2): the
+    # dropout mask is WRITTEN to HBM (uint8 [B,H,S,S], ~41 MB at flagship
+    # shapes — a ~0.1 ms round trip) instead of regenerated in the
+    # backward, which decouples the fwd/bwd grids and lifts round 2's
+    # 8-row tile cap. Takes precedence over fused_attention when set.
+    fused_attention_v2: bool = False
+    fa2_tile_fwd: int = 64
+    fa2_tile_bwd: int = 16
     # Sheet decoder. "linear" is the reference architecture (model.py:152):
     # one 6400x19200 projection — a per-(slot, pixel) dictionary, 99.99% of
     # all parameters. "conv" replaces it with a position-equivariant

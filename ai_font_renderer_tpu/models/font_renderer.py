@@ -294,9 +294,10 @@ def frontend(
     x = _dropout(x, cfg.dropout_rate, k_emb, train, cfg.bits_dropout)
     x = x + params["pos"].astype(dt)[:S]
 
-    if cfg.fused_attention and B % cfg.fused_attention_tile == 0:
-        from ..ops.fused_attention import fused_attention as _fa
-
+    use_fa2 = cfg.fused_attention_v2 and B % cfg.fa2_tile_fwd == 0 and (
+        B % cfg.fa2_tile_bwd == 0
+    )
+    if use_fa2 or (cfg.fused_attention and B % cfg.fused_attention_tile == 0):
         rate = cfg.dropout_rate if train else 0.0
         if train:
             seed = (
@@ -309,9 +310,20 @@ def frontend(
             for k in ("wq", "wk", "wv", "wo", "bq", "bk", "bv", "bo")
         }
         interp = jax.default_backend() != "tpu"
-        attn = _fa(
-            cfg.num_heads, rate, cfg.fused_attention_tile, interp, x, weights, seed
-        )
+        if use_fa2:
+            from ..ops.fused_attention import fused_attention2 as _fa2
+
+            attn = _fa2(
+                cfg.num_heads, rate, cfg.fa2_tile_fwd, cfg.fa2_tile_bwd,
+                interp, x, weights, seed,
+            )
+        else:
+            from ..ops.fused_attention import fused_attention as _fa
+
+            attn = _fa(
+                cfg.num_heads, rate, cfg.fused_attention_tile, interp, x,
+                weights, seed,
+            )
     else:
         attn = attention(params, x, cfg, train=train, key=k_attn)
     # LayerNorm statistics in f32 even under a bf16 frontend.
