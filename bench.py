@@ -144,12 +144,12 @@ def main() -> None:
     lr = jnp.float32(1e-3)
     step_key = jax.random.key(1, impl=tcfg.prng_impl)
 
-    def time_train(m):
+    def time_train(m, t=tcfg):
         # Warmup/compile; the scan chains state through all `steps`
         # batches, so the timed windows are data-dependent end to end.
-        st = init_state(jax.random.PRNGKey(0), m, tcfg)
+        st = init_state(jax.random.PRNGKey(0), m, t)
         st, loss = train_epoch(
-            st, codes_all, targets_all, batch_idx, lr, step_key, m, tcfg
+            st, codes_all, targets_all, batch_idx, lr, step_key, m, t
         )
         float(loss)
         dt = float("inf")
@@ -163,18 +163,20 @@ def main() -> None:
                 lr,
                 jax.random.fold_in(step_key, i),
                 m,
-                tcfg,
+                t,
             )
             float(loss)  # scalar fetch forces the chained scan
             dt = min(dt, time.perf_counter() - t0)
         return dt
 
     # Parity profile (reference-default flags) is the headline train number;
-    # the shipped fast profile (bf16 frontend + bits dropout, measured
-    # quality-neutral, RESULTS.md) is reported alongside.
+    # the shipped fast profile (bf16 frontend + bits dropout + hand-rolled
+    # projection backward — each measured quality-neutral, RESULTS.md) is
+    # reported alongside.
     train_dt = time_train(train_mcfg)
     fast_dt = time_train(
-        ModelConfig(bf16_frontend=True, bits_dropout=True)
+        ModelConfig(bf16_frontend=True, bits_dropout=True),
+        TrainConfig(handrolled_bwd=True),
     )
 
     print(

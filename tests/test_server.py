@@ -82,3 +82,25 @@ def test_concurrent_clients(server):
         t.join(timeout=30)
     assert not errors
     assert all(results[i] == (1, 16 * 48) for i in range(6))
+
+
+def test_int8_server_roundtrip(tmp_path):
+    """RenderServer(int8=True) serves the quantized projection end-to-end;
+    rendered sheets stay within a couple of gray levels of full precision
+    (per-channel int8 weight scales + dynamic per-row activation scales)."""
+    params = font_renderer.init(jax.random.PRNGKey(0), MCFG)
+    sock = str(tmp_path / "afr8.sock")
+    srv = RenderServer(params, MCFG, socket_path=sock, batch_size=8, int8=True)
+    srv.start()
+    try:
+        from ai_font_renderer_tpu.render.render import render_batch
+
+        strings = ["HELLO", "INT8"]
+        header, payloads = request_render(sock, strings)
+        assert header["count"] == 2
+        direct = render_batch(params, strings, MCFG)  # full precision
+        for i, p in enumerate(payloads):
+            got = np.frombuffer(p, np.uint8).reshape(16, 48) / 255.0
+            assert np.max(np.abs(got - np.clip(direct[i], 0, 1))) < 4 / 255
+    finally:
+        srv.stop()

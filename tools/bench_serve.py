@@ -6,8 +6,10 @@ socket framing + dynamic batching + device render + reply encode. Unlike
 bench.py's device-only chain, this number includes every host-side cost a
 real serving deployment pays.
 
-Usage: python tools/bench_serve.py [n_clients] [reqs_per_client] [strings_per_req]
+Usage: python tools/bench_serve.py [n_clients] [reqs_per_client] [strings_per_req] [--int8]
 Prints one JSON line with strings/sec and glyphs/sec (end-to-end).
+``--int8``: serve the quantized int8 x int8 projection (`afr serve --int8`
+path) — the A/B against the default full-precision serve.
 """
 
 from __future__ import annotations
@@ -32,9 +34,11 @@ SOCK = "/tmp/afr_bench.sock"
 
 
 def main() -> None:
-    n_clients = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    reqs = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    per_req = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    int8 = "--int8" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_clients = int(args[0]) if len(args) > 0 else 8
+    reqs = int(args[1]) if len(args) > 1 else 20
+    per_req = int(args[2]) if len(args) > 2 else 64
 
     mcfg = ModelConfig()
     if os.path.exists("font_renderer.npz"):
@@ -47,7 +51,7 @@ def main() -> None:
 
     if os.path.exists(SOCK):
         os.unlink(SOCK)
-    server = RenderServer(params, mcfg, socket_path=SOCK, batch_size=256)
+    server = RenderServer(params, mcfg, socket_path=SOCK, batch_size=256, int8=int8)
     server.start()
 
     strings = [
@@ -87,6 +91,7 @@ def main() -> None:
                 "glyphs_per_sec": round(total_glyphs / dt, 1),
                 "clients": n_clients,
                 "batch_size": 256,
+                "int8": int8,
                 "wall_s": round(dt, 2),
             }
         )
