@@ -225,3 +225,29 @@ def test_render_int8_flag(tmp_path):
     rc = cli.main(["render", "HELLO", "--weights", weights, "--out", out, "--int8"])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "string_0.bmp"))
+
+
+def test_profile_fast_flag(monkeypatch, tmp_path):
+    """--profile fast turns on the measured speed flags; conv decoders
+    keep the frontend flags but skip the linear-only handrolled backward."""
+    seen = {}
+
+    def fake_run_training(
+        mcfg, tcfg, output_dir, font, ckpt_dir, resume, mesh_shape=None
+    ):
+        seen["mcfg"], seen["tcfg"] = mcfg, tcfg
+        raise SystemExit(0)
+
+    monkeypatch.setattr(cli, "run_training", fake_run_training)
+    with pytest.raises(SystemExit):
+        cli.main(["--train", "--profile", "fast", "--output", str(tmp_path / "o")])
+    assert seen["mcfg"].bf16_frontend and seen["mcfg"].bits_dropout
+    assert seen["tcfg"].handrolled_bwd
+
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--train", "--profile", "fast", "--decoder", "conv_ps",
+             "--output", str(tmp_path / "o")]
+        )
+    assert seen["mcfg"].bf16_frontend
+    assert not seen["tcfg"].handrolled_bwd
