@@ -148,6 +148,81 @@ class GsubShaper:
 
     def _parse_subtable(self, g, t, so, nested):
         fmt = _u16(g, so)
+        if t == 3 and fmt == 1:
+            # AlternateSubst: coverage + AlternateSet per glyph. Shaping
+            # without user alternate selection takes the FIRST alternate
+            # (HarfBuzz's default for aalt/salt when no index is chosen).
+            cov = _cov_map(g, so + _u16(g, so + 2))
+            alts = {}
+            for gid, ci in cov.items():
+                ao = so + _u16(g, so + 6 + 2 * ci)
+                cnt = _u16(g, ao)
+                if cnt:
+                    alts[gid] = [_u16(g, ao + 2 + 2 * k) for k in range(cnt)]
+            return (3, alts)
+        if t == 5:
+            # ContextSubst = the chaining machinery with empty backtrack/
+            # lookahead; reuse the chain matchers (tags 61/62/63) by
+            # emitting rules with bt = la = ().
+            if fmt == 1:
+                cov = _cov_map(g, so + _u16(g, so + 2))
+                set_n = _u16(g, so + 4)
+                rule_sets = {}
+                for gid, ci in cov.items():
+                    if ci >= set_n:
+                        continue
+                    rso = so + _u16(g, so + 6 + 2 * ci)
+                    rules = []
+                    for k in range(_u16(g, rso)):
+                        ro = rso + _u16(g, rso + 2 + 2 * k)
+                        rules.append(self._parse_context_rule(g, ro, nested))
+                    rule_sets[gid] = rules
+                return (61, rule_sets)
+            if fmt == 2:
+                cov = set(_cov_map(g, so + _u16(g, so + 2)))
+                cd = _parse_class_def(g, so + _u16(g, so + 4))
+                set_n = _u16(g, so + 6)
+                class_rules = {}
+                for c in range(set_n):
+                    off = _u16(g, so + 8 + 2 * c)
+                    if not off:
+                        continue
+                    rso = so + off
+                    rules = []
+                    for k in range(_u16(g, rso)):
+                        ro = rso + _u16(g, rso + 2 + 2 * k)
+                        rules.append(self._parse_context_rule(g, ro, nested))
+                    class_rules[c] = rules
+                # One ClassDef serves the (empty) backtrack/lookahead too.
+                return (62, (cov, cd, cd, cd, class_rules))
+            if fmt == 3:
+                n = _u16(g, so + 2)
+                rec_n = _u16(g, so + 4)
+                inp = [
+                    _cov_map(g, so + _u16(g, so + 6 + 2 * i)) for i in range(n)
+                ]
+                o = so + 6 + 2 * n
+                recs = [
+                    (_u16(g, o + 4 * i), _u16(g, o + 2 + 4 * i))
+                    for i in range(rec_n)
+                ]
+                for _, nli in recs:
+                    nested.add(nli)
+                return (63, ([], inp, [], recs))
+        if t == 8 and fmt == 1:
+            # ReverseChainSingleSubst: applied back-to-front over the run,
+            # in-place single substitutions (length never changes).
+            cov = _cov_map(g, so + _u16(g, so + 2))
+            o = so + 4
+            bt_n = _u16(g, o)
+            bt = [_cov_map(g, so + _u16(g, o + 2 + 2 * i)) for i in range(bt_n)]
+            o += 2 + 2 * bt_n
+            la_n = _u16(g, o)
+            la = [_cov_map(g, so + _u16(g, o + 2 + 2 * i)) for i in range(la_n)]
+            o += 2 + 2 * la_n
+            cnt = _u16(g, o)
+            subs = [_u16(g, o + 2 + 2 * k) for k in range(cnt)]
+            return (8, (cov, bt, la, subs))
         if t == 1:
             cov = _cov_map(g, so + _u16(g, so + 2))
             if fmt == 1:
@@ -234,7 +309,24 @@ class GsubShaper:
                         rules.append(self._parse_chain_rule(g, ro, recs_out=nested))
                     class_rules[c] = rules
                 return (62, (cov, bt_cd, in_cd, la_cd, class_rules))
-        return None  # unsupported type/format: skipped (types 3/5/8)
+        return None  # unsupported format: skipped
+
+    @staticmethod
+    def _parse_context_rule(g, ro, recs_out):
+        """SubRule / SubClassRule (type 5 fmts 1-2): glyphCount and
+        substCount precede the arrays (unlike chain rules). Emits the
+        chain-rule tuple shape with empty backtrack/lookahead so the
+        chain matchers apply unchanged."""
+        in_n = _u16(g, ro)
+        rec_n = _u16(g, ro + 2)
+        inp = tuple(_u16(g, ro + 4 + 2 * i) for i in range(in_n - 1))
+        o = ro + 4 + 2 * (in_n - 1)
+        recs = [
+            (_u16(g, o + 4 * i), _u16(g, o + 2 + 4 * i)) for i in range(rec_n)
+        ]
+        for _, nli in recs:
+            recs_out.add(nli)
+        return ((), inp, (), recs)
 
     @staticmethod
     def _parse_chain_rule(g, ro, recs_out):
@@ -272,6 +364,29 @@ class GsubShaper:
         return out
 
     def _apply_over(self, li: int, gids: list[int]) -> list[int]:
+        ltype, subtables = self._lookups.get(li, (0, ()))
+        if any(t == 8 for t, _ in subtables):
+            # ReverseChainSingleSubst applies back-to-front, in place.
+            gids = list(gids)
+            for i in range(len(gids) - 1, -1, -1):
+                for t, data in subtables:
+                    if t != 8:
+                        continue
+                    cov, bt, la, subs = data
+                    ci = cov.get(gids[i])
+                    if ci is None or ci >= len(subs):
+                        continue
+                    if i < len(bt) or i + 1 + len(la) > len(gids):
+                        continue
+                    if any(gids[i - 1 - k] not in bt[k] for k in range(len(bt))):
+                        continue
+                    if any(
+                        gids[i + 1 + k] not in la[k] for k in range(len(la))
+                    ):
+                        continue
+                    gids[i] = subs[ci]
+                    break
+            return gids
         i = 0
         while i < len(gids):
             res = self._apply_at(li, gids, i, 0)
@@ -297,6 +412,10 @@ class GsubShaper:
                 sub = data.get(gids[i])
                 if sub is not None:
                     return gids[:i] + [sub] + gids[i + 1 :], 1, 0
+            elif t == 3:
+                alts = data.get(gids[i])
+                if alts:
+                    return gids[:i] + [alts[0]] + gids[i + 1 :], 1, 0
             elif t == 2:
                 seq = data.get(gids[i])
                 if seq:

@@ -146,3 +146,119 @@ class TestShapedRenderer:
     def test_empty_and_space_strings(self):
         sheets = render_shaped_sheets(FIRACODE_PATH, ["", "   "])
         assert np.all(sheets == 1.0)  # pure white, no crash
+
+
+class TestSyntheticLookupTypes358:
+    """GSUB lookup types 3 (AlternateSubst), 5 (ContextSubst fmts 1-3),
+    and 8 (ReverseChainSingleSubst) — unused by the bundled fonts, so
+    exercised on hand-built binary subtables (OpenType spec layouts)."""
+
+    @staticmethod
+    def _cov(gids):
+        import struct
+        return struct.pack(f">HH{len(gids)}H", 1, len(gids), *gids)
+
+    @pytest.fixture(scope="class")
+    def sh(self):
+        return GsubShaper(TrueTypeFont.load(FIRACODE_PATH))
+
+    def test_type3_alternate_takes_first(self, sh):
+        import struct
+        # fmt, covOff, altSetCount=2, altSetOffs[2], altsets, coverage
+        alt0 = struct.pack(">HHH", 2, 100, 101)   # 2 alternates for gid 10
+        alt1 = struct.pack(">HH", 1, 200)         # 1 alternate for gid 20
+        off_alt0 = 10  # header: fmt + covOff + count + 2 offsets
+        off_alt1 = off_alt0 + len(alt0)
+        off_cov = off_alt1 + len(alt1)
+        blob = (
+            struct.pack(">HHHHH", 1, off_cov, 2, off_alt0, off_alt1)
+            + alt0 + alt1 + self._cov([10, 20])
+        )
+        parsed = sh._parse_subtable(blob, 3, 0, set())
+        assert parsed == (3, {10: [100, 101], 20: [200]})
+        sh._lookups[990] = (3, [parsed])
+        assert sh._apply_over(990, [10, 20, 30]) == [100, 200, 30]
+
+    def test_type5_fmt3_context(self, sh):
+        import struct
+        sh._lookups[991] = (1, [(1, {1: 99})])  # nested single-subst 1->99
+        cov_a, cov_b = self._cov([1]), self._cov([2])
+        off_a = 6 + 2 * 2 + 4  # header + covOffs + 1 record
+        off_b = off_a + len(cov_a)
+        blob = (
+            struct.pack(">HHHHHHH", 3, 2, 1, off_a, off_b, 0, 991)
+            + cov_a + cov_b
+        )
+        nested = set()
+        parsed = sh._parse_subtable(blob, 5, 0, nested)
+        assert nested == {991}
+        assert parsed[0] == 63 and parsed[1][0] == [] and parsed[1][2] == []
+        sh._lookups[992] = (5, [parsed])
+        assert sh._apply_over(992, [1, 2, 3]) == [99, 2, 3]
+        assert sh._apply_over(992, [1, 3, 2]) == [1, 3, 2]  # context unmet
+
+    def test_type5_fmt1_rules(self, sh):
+        import struct
+        sh._lookups[991] = (1, [(1, {1: 99})])
+        # SubRule: glyphCount=2, substCount=1, input=[2], rec (0, 991)
+        rule = struct.pack(">HHHHH", 2, 1, 2, 0, 991)
+        ruleset = struct.pack(">HH", 1, 4) + rule  # count=1, off=4
+        off_rs = 8
+        off_cov = off_rs + len(ruleset)
+        blob = (
+            struct.pack(">HHHH", 1, off_cov, 1, off_rs)
+            + ruleset + self._cov([1])
+        )
+        parsed = sh._parse_subtable(blob, 5, 0, set())
+        assert parsed[0] == 61
+        assert parsed[1][1] == [((), (2,), (), [(0, 991)])]
+        sh._lookups[993] = (5, [parsed])
+        assert sh._apply_over(993, [1, 2]) == [99, 2]
+        assert sh._apply_over(993, [1, 5]) == [1, 5]
+
+    def test_type5_fmt2_class_rules(self, sh):
+        import struct
+        sh._lookups[991] = (1, [(1, {1: 99})])
+        # ClassDef fmt1: glyphs 1..2 -> classes 7, 8
+        cd = struct.pack(">HHHHH", 1, 1, 2, 7, 8)
+        # SubClassRule: glyphCount=2, substCount=1, classes=[8], rec (0,991)
+        rule = struct.pack(">HHHHH", 2, 1, 8, 0, 991)
+        ruleset = struct.pack(">HH", 1, 4) + rule
+        # header: fmt, covOff, cdOff, setCount=9, offs[9] (class 7 only)
+        n_sets = 9
+        head = 8 + 2 * n_sets
+        off_cd = head
+        off_rs = off_cd + len(cd)
+        off_cov = off_rs + len(ruleset)
+        offs = [0] * n_sets
+        offs[7] = off_rs
+        blob = (
+            struct.pack(f">HHHH{n_sets}H", 2, off_cov, off_cd, n_sets, *offs)
+            + cd + ruleset + self._cov([1])
+        )
+        parsed = sh._parse_subtable(blob, 5, 0, set())
+        assert parsed[0] == 62
+        sh._lookups[994] = (5, [parsed])
+        assert sh._apply_over(994, [1, 2]) == [99, 2]   # class 7 then 8
+        assert sh._apply_over(994, [1, 1]) == [1, 1]    # second is class 7
+
+    def test_type8_reverse_chain(self, sh):
+        import struct
+        # cov [5,6] -> subs [50,60]; backtrack cov {9}; no lookahead
+        cov_bt = self._cov([9])
+        off_bt = 16  # header: 6 u16 fields + 2 substitute gids
+        off_cov = off_bt + len(cov_bt)
+        blob = (
+            struct.pack(">HHHHHHHH", 1, off_cov, 1, off_bt, 0, 2, 50, 60)
+            + cov_bt + self._cov([5, 6])
+        )
+        parsed = sh._parse_subtable(blob, 8, 0, set())
+        assert parsed[0] == 8
+        sh._lookups[995] = (8, [parsed])
+        # gids[0]=9 matches backtrack for position 1 only.
+        assert sh._apply_over(995, [9, 5, 6]) == [9, 50, 6]
+        assert sh._apply_over(995, [5, 6]) == [5, 6]  # no backtrack match
+        # Reverse order: later positions substitute first; a substituted
+        # glyph becomes the backtrack context for earlier positions only
+        # in logical order (backtrack looks left).
+        assert sh._apply_over(995, [9, 5, 9, 6]) == [9, 50, 9, 60]
