@@ -95,6 +95,8 @@ class ModelConfig:
     # shapes — a ~0.1 ms round trip) instead of regenerated in the
     # backward, which decouples the fwd/bwd grids and lifts round 2's
     # 8-row tile cap. Takes precedence over fused_attention when set.
+    # Single-device only (like fused_attention and fused_dw_adamw):
+    # train() raises on a multi-device mesh.
     fused_attention_v2: bool = False
     fa2_tile_fwd: int = 64
     fa2_tile_bwd: int = 16

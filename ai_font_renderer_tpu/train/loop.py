@@ -105,15 +105,22 @@ def train(
     key = jax.random.key(tcfg.seed, impl=tcfg.prng_impl)
     init_key = jax.random.PRNGKey(tcfg.seed)  # param init stays threefry
     use_fused = tcfg.fused_dw_adamw
-    if use_fused and mesh is not None and np.prod(mesh.devices.shape) > 1:
-        # The fused dW+AdamW Pallas kernel owns out_w's update in plain
-        # per-device memory; under GSPMD a 'model'-sharded out_w would be
-        # silently gathered into every device. Unsupported until the kernel
-        # is shard_map'd — fail loudly rather than quietly unsharding.
-        raise ValueError(
-            "fused_dw_adamw is single-device only; train on a mesh with "
-            "the standard step (TrainConfig(fused_dw_adamw=False))"
-        )
+    if mesh is not None and np.prod(mesh.devices.shape) > 1:
+        # Pallas kernels are opaque to GSPMD: sharded operands would be
+        # silently gathered onto each device instead of partitioned.
+        # Unsupported until the kernels are shard_map'd — fail loudly
+        # rather than quietly unsharding.
+        if use_fused:
+            raise ValueError(
+                "fused_dw_adamw is single-device only; train on a mesh "
+                "with the standard step (TrainConfig(fused_dw_adamw=False))"
+            )
+        if mcfg.fused_attention or mcfg.fused_attention_v2:
+            raise ValueError(
+                "the fused attention kernels are single-device only; "
+                "train on a mesh with the XLA attention path "
+                "(fused_attention=False, fused_attention_v2=False)"
+            )
     state = (
         train_step_mod.init_fused_state(init_key, mcfg, tcfg)
         if use_fused

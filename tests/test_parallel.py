@@ -261,3 +261,31 @@ def test_train_refuses_mesh_plus_fused(tmp_path):
     )
     with pytest.raises(ValueError, match="fused_dw_adamw is single-device"):
         train(ds, mcfg, tcfg, mesh=mesh, log=lambda *a, **k: None)
+
+
+def test_train_refuses_mesh_plus_fused_attention():
+    """Pallas attention kernels are opaque to GSPMD; mesh training must
+    raise instead of silently gathering sharded operands."""
+    import pytest
+
+    from ai_font_renderer_tpu.config import ModelConfig, TrainConfig
+    from ai_font_renderer_tpu.fontgen.dataset import DeviceDataset
+    from ai_font_renderer_tpu.train import train
+
+    mesh = make_mesh(data=4, model=2)
+    ds = DeviceDataset(
+        codes=jnp.full((64, 24), 65, jnp.int32),
+        targets_u8=jnp.full((64, 16, 48), 128, jnp.uint8),
+    )
+    for mcfg in (
+        ModelConfig(max_length=24, sheet_height=16, sheet_width=48,
+                    fused_attention=True),
+        ModelConfig(max_length=24, sheet_height=16, sheet_width=48,
+                    fused_attention_v2=True),
+    ):
+        with pytest.raises(ValueError, match="single-device only"):
+            train(
+                ds, mcfg,
+                TrainConfig(num_samples=64, batch_size=16, num_epochs=1),
+                mesh=mesh, log=lambda *a, **k: None,
+            )
