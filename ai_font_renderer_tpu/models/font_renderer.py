@@ -188,6 +188,12 @@ def infer_model_config(params: dict, base: ModelConfig = ModelConfig()) -> Model
     kw["hidden_dim"] = int(params["fc1_w"].shape[1])
     if int(e) != base.embedding_dim:
         kw["num_heads"] = max(1, int(e) // 8)
+        print(
+            f"Warning: inferring num_heads={kw['num_heads']} from "
+            f"embedding_dim={e} (8-dim heads assumed) — shapes cannot "
+            "determine the head count. Re-save the weights with "
+            "save_params(params, path, mcfg) to embed the exact config."
+        )
     if "dec_w0" in params:
         # Channel plan from the IN-channel chain (valid for both conv
         # variants); the resize variant's kernels output exactly the next
