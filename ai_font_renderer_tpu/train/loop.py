@@ -117,9 +117,12 @@ def train(
             )
         if mcfg.fused_attention or mcfg.fused_attention_v2:
             raise ValueError(
-                "the fused attention kernels are single-device only; "
-                "train on a mesh with the XLA attention path "
-                "(fused_attention=False, fused_attention_v2=False)"
+                "the fused attention kernels do not compose with this "
+                "GSPMD sharding path (pallas_call is opaque to it); use "
+                "the explicit shard_map DP step instead "
+                "(parallel.make_shard_map_train_step — kernels run "
+                "per-shard there, tested in test_parallel.py), or train "
+                "with fused_attention=False / fused_attention_v2=False"
             )
     state = (
         train_step_mod.init_fused_state(init_key, mcfg, tcfg)

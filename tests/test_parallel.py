@@ -6,6 +6,7 @@ TPU hardware. These tests verify the DP+TP sharded training step compiles,
 executes, and agrees numerically with the single-device path.
 """
 
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,6 +17,7 @@ from ai_font_renderer_tpu.fontgen import bake_atlas
 from ai_font_renderer_tpu.fontgen.dataset import build_device_dataset
 from ai_font_renderer_tpu.parallel import (
     make_mesh,
+    make_shard_map_train_step,
     replicate,
     shard_batch,
     shard_batch_idx,
@@ -289,3 +291,46 @@ def test_train_refuses_mesh_plus_fused_attention():
                 TrainConfig(num_samples=64, batch_size=16, num_epochs=1),
                 mesh=mesh, log=lambda *a, **k: None,
             )
+
+
+def test_shard_map_step_runs_pallas_attention():
+    """Pallas kernels DO compose with the explicit shard_map DP step: inside
+    shard_map everything is device-local, so the fused attention kernel runs
+    per-shard (interpret mode on the virtual CPU mesh). Loss matches the
+    XLA-attention shard_map step (dropout off in eval-identical rate=0
+    kernels is not possible here — train=True draws per-device keys — so
+    compare fused vs XLA attention under identical keys with dropout_rate=0
+    via the model config)."""
+    from ai_font_renderer_tpu.config import ModelConfig, TrainConfig
+    from ai_font_renderer_tpu.train import init_state
+
+    mesh = make_mesh(data=8, model=1)
+    tcfg = TrainConfig(num_samples=64, batch_size=64)
+    # dropout_rate=0: identical math across attention implementations.
+    base = ModelConfig(
+        max_length=24, sheet_height=16, sheet_width=48,
+        dropout_rate=0.0, fc_dropout_rate=0.0,
+    )
+    fused = dataclasses.replace(
+        base, fused_attention_v2=True, fa2_tile_fwd=8, fa2_tile_bwd=8
+    )
+    codes = jnp.full((64, 24), 65, jnp.int32)
+    targets = jnp.linspace(0, 1, 64 * 16 * 48, dtype=jnp.float32).reshape(
+        64, 16, 48
+    )
+    lr = jnp.float32(1e-3)
+    key = jax.random.key(3, impl="rbg")
+
+    losses, states = {}, {}
+    for name, mcfg in [("xla", base), ("fused", fused)]:
+        step = make_shard_map_train_step(mesh, mcfg, tcfg)
+        st = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
+        st, loss = step(st, codes, targets, lr, key)
+        losses[name], states[name] = float(loss), st
+    assert np.isfinite(losses["fused"])
+    np.testing.assert_allclose(losses["fused"], losses["xla"], rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(states["fused"].params["wq"]),
+        np.asarray(states["xla"].params["wq"]),
+        atol=5e-5,
+    )
