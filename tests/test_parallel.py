@@ -285,7 +285,7 @@ def test_train_refuses_mesh_plus_fused_attention():
         ModelConfig(max_length=24, sheet_height=16, sheet_width=48,
                     fused_attention_v2=True),
     ):
-        with pytest.raises(ValueError, match="single-device only"):
+        with pytest.raises(ValueError, match="shard_map"):
             train(
                 ds, mcfg,
                 TrainConfig(num_samples=64, batch_size=16, num_epochs=1),
