@@ -33,15 +33,36 @@ import numpy as np
 from ..config import ModelConfig
 
 
+class _Request:
+    """One client request moving through the batching pipeline."""
+
+    __slots__ = ("strings", "reply", "sheets", "cursor", "remaining")
+
+    def __init__(self, strings: list[str], reply, height: int, width: int):
+        self.strings = strings
+        self.reply = reply
+        self.sheets = np.empty((len(strings), height, width), np.uint8)
+        self.cursor = 0  # next string index to dispatch
+        self.remaining = len(strings)  # strings not yet fetched
+
+
 class _Batcher:
     """Queue of (strings, reply_fn); drains into fixed-size device batches.
 
-    Double-buffered: every chunk of a drain is DISPATCHED before any is
-    fetched (JAX dispatch is async, so the device works ahead while the
-    host encodes the next chunk's codes), quantization to uint8 happens on
-    device (4x smaller fetches), and replies are written by a separate
-    thread so socket IO never blocks the render loop.
+    A continuous pipeline, not drain-at-a-time: chunks are packed across
+    requests (one compiled XLA program per fixed-size batch), up to
+    ``_WINDOW`` chunks stay dispatched ahead of the oldest un-fetched one
+    (JAX dispatch is async, so the device works ahead while the host
+    encodes the next chunk's codes), newly arrived requests join the
+    dispatch queue between fetches — so a long backlog never stalls
+    admission — and each request's reply streams out the moment its own
+    rows are fetched instead of waiting for the whole drain. Quantization
+    to uint8 happens on device (4x smaller fetches), and replies are
+    written by a separate thread so socket IO never blocks the render
+    loop.
     """
+
+    _WINDOW = 2  # fetch once more than this many chunks are in flight
 
     def __init__(
         self, params, mcfg: ModelConfig, batch_size: int = 64, int8: bool = False
@@ -91,47 +112,63 @@ class _Batcher:
             except (BrokenPipeError, ConnectionError, OSError, socket.timeout):
                 pass  # client went away or stalled; keep serving others
 
-    def _loop(self):
-        while not self._stop.is_set():
-            item = self.q.get()
-            if item is None:
-                continue
-            # Coalesce: take everything pending, chunk to batch_size.
-            pending = [item]
+    def _admit(self, reqs: list, block: bool) -> bool:
+        """Move queued submissions into the dispatch list. Returns False
+        once the shutdown sentinel has been consumed."""
+        h, w = self.mcfg.sheet_height, self.mcfg.sheet_width
+        first = block
+        while True:
             try:
-                while True:
-                    nxt = self.q.get_nowait()
-                    if nxt is not None:
-                        pending.append(nxt)
+                item = self.q.get(block=first)
             except queue.Empty:
-                pass
-            flat: list[str] = []
-            spans = []  # (start, count, reply)
-            for strings, reply in pending:
-                spans.append((len(flat), len(strings), reply))
-                flat.extend(strings)
-            # Double buffering with a bounded in-flight window: dispatch
-            # runs (at most 2) ahead of the ordered fetches, so the host
-            # encodes chunk N+1 while chunk N renders without holding the
-            # whole backlog's output buffers on device at once.
-            sheets = np.empty(
-                (len(flat), self.mcfg.sheet_height, self.mcfg.sheet_width),
-                np.uint8,
-            )
-            inflight: list = []
-            for start in range(0, len(flat), self.batch_size):
-                chunk = flat[start : start + self.batch_size]
-                padded = chunk + [""] * (self.batch_size - len(chunk))
-                inflight.append(
-                    (start, len(chunk), self._render_u8(self.params, padded, self.mcfg))
-                )
-                if len(inflight) > 2:
-                    s0, c0, dev = inflight.pop(0)
-                    sheets[s0 : s0 + c0] = np.asarray(dev)[:c0]
-            for s0, c0, dev in inflight:
-                sheets[s0 : s0 + c0] = np.asarray(dev)[:c0]
-            for start, count, reply in spans:
-                self._replies.put((reply, sheets[start : start + count]))
+                return True
+            first = False
+            if item is None:
+                return False
+            strings, reply = item
+            if not strings:  # nothing to render; reply immediately
+                self._replies.put((reply, np.empty((0, h, w), np.uint8)))
+                continue
+            reqs.append(_Request(strings, reply, h, w))
+
+    def _dispatch_chunk(self, reqs: list):
+        """Pack the next batch_size strings across requests, dispatch one
+        device call; returns (segments, device_array)."""
+        chunk: list[str] = []
+        segs = []  # (request, start_row_in_request, start_in_chunk, count)
+        while reqs and len(chunk) < self.batch_size:
+            req = reqs[0]
+            take = min(self.batch_size - len(chunk), len(req.strings) - req.cursor)
+            segs.append((req, req.cursor, len(chunk), take))
+            chunk.extend(req.strings[req.cursor : req.cursor + take])
+            req.cursor += take
+            if req.cursor == len(req.strings):
+                reqs.pop(0)
+        padded = chunk + [""] * (self.batch_size - len(chunk))
+        return segs, self._render_u8(self.params, padded, self.mcfg)
+
+    def _fetch_chunk(self, inflight: list):
+        """Fetch the oldest in-flight chunk; stream any completed replies."""
+        segs, dev = inflight.pop(0)
+        arr = np.asarray(dev)
+        for req, row0, c0, count in segs:
+            req.sheets[row0 : row0 + count] = arr[c0 : c0 + count]
+            req.remaining -= count
+            if req.remaining == 0:
+                self._replies.put((req.reply, req.sheets))
+
+    def _loop(self):
+        reqs: list[_Request] = []  # admitted, not fully dispatched
+        inflight: list = []  # dispatched, not fetched
+        alive = True
+        while alive or reqs or inflight:
+            if alive:
+                # Block for work only when the pipeline is empty.
+                alive = self._admit(reqs, block=not (reqs or inflight))
+            while reqs and len(inflight) <= self._WINDOW:
+                inflight.append(self._dispatch_chunk(reqs))
+            if inflight:
+                self._fetch_chunk(inflight)
 
 
 def _send_msg(sock, payload: bytes):

@@ -84,6 +84,51 @@ def test_concurrent_clients(server):
     assert all(results[i] == (1, 16 * 48) for i in range(6))
 
 
+def test_empty_request_replies_immediately(server):
+    _, sock, _ = server
+    header, payloads = request_render(sock, [])
+    assert header["count"] == 0
+    assert payloads == []
+
+
+def test_cross_request_packing_correctness(server):
+    """Concurrent requests whose sizes straddle chunk boundaries (batch 8;
+    sizes 5/6/3/20/1) are packed into shared device batches by the
+    pipelined batcher — every client must still get exactly its own
+    sheets, in its own order."""
+    srv, sock, params = server
+    from ai_font_renderer_tpu.render.render import render_batch
+
+    sizes = [5, 6, 3, 20, 1]
+    reqs = {
+        i: [f"REQ{i} S{j}" for j in range(n)] for i, n in enumerate(sizes)
+    }
+    results = {}
+    errors = []
+
+    def client(i):
+        try:
+            header, payloads = request_render(sock, reqs[i])
+            results[i] = (header["count"], payloads)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in reqs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors
+    for i, strings in reqs.items():
+        count, payloads = results[i]
+        assert count == len(strings)
+        direct = render_batch(params, strings, MCFG)
+        for j, p in enumerate(payloads):
+            got = np.frombuffer(p, np.uint8).reshape(16, 48) / 255.0
+            want = np.round(np.clip(direct[j], 0, 1) * 255) / 255.0
+            np.testing.assert_allclose(got, want, atol=1 / 255 + 1e-6)
+
+
 def test_int8_server_roundtrip(tmp_path):
     """RenderServer(int8=True) serves the quantized projection end-to-end;
     rendered sheets stay within a couple of gray levels of full precision
