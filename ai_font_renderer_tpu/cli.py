@@ -273,6 +273,41 @@ def cmd_render(args) -> int:
         print(f"Saved {len(sheets)} shaped ground-truth strings to {args.out}/")
         return 0
 
+    if getattr(args, "implicit", None):
+        # Implicit hybrid: SIREN glyph bank composed into sheets at any
+        # --scale; --placement swaps the layout engine for the learned
+        # placement transformer (fully neural chars -> pixels).
+        from .fontgen.bmp import write_bmp
+        from .render.implicit_sheet import (
+            render_implicit_sheets,
+            render_learned_sheets,
+        )
+        from .utils.checkpoint import load_siren
+
+        if not os.path.exists(args.implicit):
+            print(f"Error: SIREN bank not found: {args.implicit}")
+            return 1
+        sp, scfg, charset = load_siren(args.implicit)
+        strings = args.strings or TEST_STRINGS
+        if getattr(args, "placement", None):
+            if not os.path.exists(args.placement):
+                print(f"Error: placement weights not found: {args.placement}")
+                return 1
+            pp, pcfg = load_params_with_config(args.placement)
+            sheets = render_learned_sheets(
+                sp, pp, strings, args.font, scfg, pcfg,
+                scale=args.scale, charset=charset,
+            )
+        else:
+            sheets = render_implicit_sheets(
+                sp, strings, args.font, scfg, scale=args.scale, charset=charset
+            )
+        os.makedirs(args.out, exist_ok=True)
+        for i, sheet in enumerate(sheets):
+            write_bmp(os.path.join(args.out, f"string_{i}.bmp"), sheet)
+        print(f"Saved {len(sheets)} implicit renders to {args.out}/")
+        return 0
+
     if not os.path.exists(args.weights):
         print(
             f"Error: weights file not found: {args.weights}\n"
@@ -280,6 +315,10 @@ def cmd_render(args) -> int:
         )
         return 1
     params, mcfg = load_params_with_config(args.weights)
+    if getattr(args, "fast", False):
+        import dataclasses
+
+        mcfg = dataclasses.replace(mcfg, bf16_frontend=True)
     if getattr(args, "int8", False):
         from .ops.quantized import quantize_params
 
@@ -299,6 +338,10 @@ def cmd_serve(args) -> int:
         print(f"Error: weights file not found: {args.weights}")
         return 1
     params, mcfg = load_params_with_config(args.weights)
+    if getattr(args, "fast", False):
+        import dataclasses
+
+        mcfg = dataclasses.replace(mcfg, bf16_frontend=True)
     server = RenderServer(
         params,
         mcfg,
@@ -347,6 +390,34 @@ def main(argv: list[str] | None = None) -> int:
             help="serve the linear head as an int8xint8 MXU GEMM "
             "(per-channel weight scales, dynamic per-row activation scales)",
         )
+        p_ren.add_argument(
+            "--fast",
+            action="store_true",
+            help="bf16 frontend for inference (serving-fast tier; ~1 gray "
+            "level delta, measured in bench.py alongside int8)",
+        )
+        p_ren.add_argument(
+            "--implicit",
+            metavar="SIREN_NPZ",
+            default=None,
+            help="render through the implicit hybrid: a SIREN glyph bank "
+            "(utils/checkpoint.save_siren) composed at engine-laid-out "
+            "positions; supports --scale for arbitrary resolution",
+        )
+        p_ren.add_argument(
+            "--placement",
+            metavar="PLACEMENT_NPZ",
+            default=None,
+            help="with --implicit: take glyph positions from a learned "
+            "placement transformer (models/placement.py) instead of the "
+            "layout engine — the fully neural chars->pixels path",
+        )
+        p_ren.add_argument(
+            "--scale",
+            type=float,
+            default=1.0,
+            help="output resolution multiplier for --implicit renders",
+        )
         p_ev = sub.add_parser("eval", help="val MSE/PSNR of saved weights")
         p_ev.add_argument("--weights", default="font_renderer.npz")
         p_ev.add_argument("--num-samples", type=int, default=150000)
@@ -361,6 +432,12 @@ def main(argv: list[str] | None = None) -> int:
             "--int8",
             action="store_true",
             help="quantize the linear head to int8 for serving",
+        )
+        p_srv.add_argument(
+            "--fast",
+            action="store_true",
+            help="bf16 frontend for serving (combine with --int8 for the "
+            "fastest tier)",
         )
         args = parser.parse_args(argv)
         return {

@@ -285,7 +285,32 @@ def frontend(
     frontend through jax.vjp while handling the dominant GEMM + its
     optimizer update in a fused Pallas kernel. ``apply`` composes this with
     the projection; the dropout key schedule lives here so both paths draw
-    identical masks.
+    identical masks. Per-slot features (before the flatten) are exposed as
+    :func:`features` for heads that keep the sequence axis (e.g. the
+    learned-placement head, models/placement.py).
+    """
+    B, S = codes.shape
+    x = features(params, codes, cfg, train=train, key=key)
+    flat = x.astype(jnp.float32).reshape(B, -1)
+    full = cfg.max_length * cfg.hidden_dim
+    if flat.shape[1] < full:  # zero-pad short sequences (model.py:190-193)
+        flat = jnp.pad(flat, ((0, 0), (0, full - flat.shape[1])))
+    return flat
+
+
+def features(
+    params: dict,
+    codes: jax.Array,
+    cfg: ModelConfig = ModelConfig(),
+    *,
+    train: bool = False,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """codes [B, S] -> per-slot frontend features [B, S<=max_length, hidden].
+
+    The shared embed + learned-PE + MHA + post-LN + fc1 stack
+    (model.py:166-184 math); ``frontend`` flattens this for the sheet
+    decoders, per-slot heads consume it directly.
     """
     B, S = codes.shape
     S = min(S, cfg.max_length)
@@ -338,13 +363,7 @@ def frontend(
     ).astype(dt)
 
     x = jax.nn.relu(x @ params["fc1_w"].astype(dt) + params["fc1_b"].astype(dt))
-    x = _dropout(x, cfg.fc_dropout_rate, k_fc, train, cfg.bits_dropout)
-
-    flat = x.astype(jnp.float32).reshape(B, S * cfg.hidden_dim)
-    full = cfg.max_length * cfg.hidden_dim
-    if flat.shape[1] < full:  # zero-pad short sequences (model.py:190-193)
-        flat = jnp.pad(flat, ((0, 0), (0, full - flat.shape[1])))
-    return flat
+    return _dropout(x, cfg.fc_dropout_rate, k_fc, train, cfg.bits_dropout)
 
 
 def conv_decode(params: dict, flat: jax.Array, cfg: ModelConfig) -> jax.Array:

@@ -126,6 +126,67 @@ def place_glyphs(
     return ids, origins, valid
 
 
+def origins_from_midpoints(mids, lay: ImplicitLayout):
+    """(advance-midpoint x, baseline y) at BASE scale -> window origins.
+
+    The inverse of the geometry inside place_glyphs: scales to the output
+    resolution, then shifts by the glyph cell's advance-center / baseline
+    so the cell lands with its reference points on the pen's. Works on
+    numpy or jax arrays [..., 2]."""
+    mx = mids[..., 0] * lay.scale - lay.cell_x_center * lay.r
+    my = mids[..., 1] * lay.scale - lay.cell_baseline * lay.r
+    return jnp.stack([mx, my], axis=-1) if isinstance(mids, jax.Array) else (
+        np.stack([mx, my], axis=-1).astype(np.float32)
+    )
+
+
+def render_learned_sheets(
+    siren_params: dict,
+    placement_params: dict,
+    strings: list[str],
+    font_path: str,
+    cfg: siren.SirenConfig,
+    pcfg=None,
+    spec: SheetSpec = SheetSpec(),
+    scale: float = 1.0,
+    charset: str = PRINTABLE_ASCII,
+) -> np.ndarray:
+    """Fully neural strings -> sheets: NO layout engine in the loop.
+
+    The placement transformer (models/placement.py) predicts every glyph's
+    advance-midpoint/baseline and visibility from the raw char codes; the
+    SIREN bank paints the glyphs at the predicted positions. The font file
+    is used only to build the static cell geometry (scale factors), never
+    to lay out the text.
+    """
+    from ..config import ModelConfig
+    from ..fontgen.layout import encode_codes
+    from ..models import placement
+
+    if pcfg is None:
+        pcfg = ModelConfig()
+    font = TrueTypeFont.load(font_path)
+    lay = build_layout(font, spec, cfg.cell, scale=scale, max_glyphs=pcfg.max_length)
+    codes = jnp.asarray(encode_codes(strings, pcfg.max_length))
+    mids, logits = placement.apply(placement_params, codes, pcfg, train=False)
+    origins = origins_from_midpoints(mids, lay)
+
+    idx = {c: i for i, c in enumerate(charset)}
+    n, G = len(strings), pcfg.max_length
+    ids = np.zeros((n, G), np.int32)
+    known = np.zeros((n, G), bool)
+    for si, s in enumerate(strings):
+        for ci, ch in enumerate(s[:G]):
+            k = idx.get(ch)
+            if k is not None and ch != " ":
+                ids[si, ci] = k
+                known[si, ci] = True
+    valid = jnp.asarray(known) & (jax.nn.sigmoid(logits) > 0.5)
+    return np.asarray(
+        compose(siren_params, jnp.asarray(ids), origins, valid, cfg, lay)
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "lay"))
 def compose(params, char_ids, origins, valid, cfg: siren.SirenConfig, lay: ImplicitLayout):
     """Evaluate + composite all placed glyphs: ONE device call.

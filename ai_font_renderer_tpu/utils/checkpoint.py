@@ -119,6 +119,46 @@ def load_params_with_config(filename: str = MODEL_FILENAME, base="default"):
     return params, infer_model_config(params, base_cfg)
 
 
+_SIREN_CONFIG_KEY = "__siren_config__"
+
+
+def save_siren(params: dict, cfg, charset: str, filename: str) -> None:
+    """Persist an implicit glyph bank (models/siren.py) with its config.
+
+    One npz: SIREN weights + a JSON entry carrying the SirenConfig fields
+    and the charset the bank was trained on — everything the composition
+    paths (render/implicit_sheet.py) need to reconstruct the renderer.
+    """
+    import dataclasses
+
+    flat = {k: np.asarray(v) for k, v in params.items()}
+    flat[_SIREN_CONFIG_KEY] = np.array(
+        json.dumps({"cfg": dataclasses.asdict(cfg), "charset": charset})
+    )
+    d = os.path.dirname(filename)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    np.savez(filename, **flat)
+    print(f"SIREN bank saved to {filename}")
+
+
+def load_siren(filename: str):
+    """Load a bank saved by :func:`save_siren` -> (params, cfg, charset)."""
+    from ..models.siren import SirenConfig
+
+    z = np.load(filename)
+    if _SIREN_CONFIG_KEY not in z.files:
+        raise ValueError(
+            f"{filename} is not a SIREN bank (no {_SIREN_CONFIG_KEY} entry)"
+        )
+    meta = json.loads(str(z[_SIREN_CONFIG_KEY][()]))
+    params = {
+        k: jax.numpy.asarray(z[k]) for k in z.files if k != _SIREN_CONFIG_KEY
+    }
+    print(f"SIREN bank loaded from {filename}")
+    return params, SirenConfig(**meta["cfg"]), meta["charset"]
+
+
 class CheckpointManager:
     """Orbax step checkpoints + a JSON sidecar for host control state."""
 

@@ -113,6 +113,33 @@ def main() -> None:
         q8_dt = min(q8_dt, time.perf_counter() - t0)
     int8_glyphs_per_sec = batch * iters * q8_mcfg.max_length / q8_dt
 
+    # int8 head + bf16 frontend: the serving-fast combo. The int8 GEMM
+    # already tolerates larger numerics deltas than bf16 rounding, so the
+    # frontend (traffic-bound, ~3.3 ms of the f32 forward, RESULTS.md
+    # roofline table) can drop to bf16 too.
+    import dataclasses
+
+    q8f_mcfg = dataclasses.replace(q8_mcfg, bf16_frontend=True)
+
+    @jax.jit
+    def fwd_chain_q8f(p, c):
+        out = apply_quantized_int8(p, c, q8f_mcfg)
+        delta = (out[:, :1, : q8f_mcfg.max_length] * 7).astype(jnp.int32)
+        nxt = (c + delta.reshape(c.shape)) % 26 + 65
+        return out, nxt
+
+    out, c = fwd_chain_q8f(served, q8_codes)
+    jax.block_until_ready((out, c))
+    q8f_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        cc = q8_codes
+        for _ in range(iters):
+            out, cc = fwd_chain_q8f(served, cc)
+        float(out.mean())
+        q8f_dt = min(q8f_dt, time.perf_counter() - t0)
+    int8_bf16_glyphs_per_sec = batch * iters * q8f_mcfg.max_length / q8f_dt
+
     # Secondary: train-step throughput at the flagship batch size, measured
     # on the SAME path the real loop runs (train/loop.py): the whole-epoch
     # `lax.scan` with device-resident data and rbg dropout keys. Per-call
@@ -188,6 +215,9 @@ def main() -> None:
                 "vs_baseline": round(glyphs_per_sec / BASELINE_GLYPHS_PER_SEC, 2),
                 "sheets_per_sec": round(sheets_per_sec, 1),
                 "int8_serving_glyphs_per_sec": round(int8_glyphs_per_sec, 1),
+                "int8_bf16_serving_glyphs_per_sec": round(
+                    int8_bf16_glyphs_per_sec, 1
+                ),
                 "train_steps_per_sec": round(steps / train_dt, 2),
                 "train_samples_per_sec": round(steps * tb / train_dt, 1),
                 "fast_train_steps_per_sec": round(steps / fast_dt, 2),

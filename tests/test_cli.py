@@ -251,3 +251,57 @@ def test_profile_fast_flag(monkeypatch, tmp_path):
         )
     assert seen["mcfg"].bf16_frontend
     assert not seen["tcfg"].handrolled_bwd
+
+
+def test_render_implicit_and_learned_placement(tmp_path):
+    """`afr render --implicit BANK [--placement NET] [--scale]` drives the
+    hybrid and the fully neural path from the product surface."""
+    import jax
+
+    from ai_font_renderer_tpu.config import FIRACODE_PATH
+    from ai_font_renderer_tpu.fontgen.bmp import read_bmp
+    from ai_font_renderer_tpu.models import placement, siren
+    from ai_font_renderer_tpu.utils.checkpoint import save_params, save_siren
+
+    charset = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    scfg = siren.SirenConfig(n_chars=len(charset), cell=16, hidden_dim=16, n_layers=2)
+    bank = str(tmp_path / "siren.npz")
+    save_siren(siren.init(jax.random.PRNGKey(0), scfg), scfg, charset, bank)
+
+    out = str(tmp_path / "r1")
+    rc = cli.main(["render", "HI", "--implicit", bank, "--out", out])
+    assert rc == 0
+    assert read_bmp(os.path.join(out, "string_0.bmp")).shape == (80, 240)
+
+    out2 = str(tmp_path / "r2")
+    rc = cli.main(["render", "HI", "--implicit", bank, "--out", out2, "--scale", "2"])
+    assert rc == 0
+    assert read_bmp(os.path.join(out2, "string_0.bmp")).shape == (160, 480)
+
+    pcfg = ModelConfig(max_length=24)
+    net = str(tmp_path / "place.npz")
+    save_params(placement.init(jax.random.PRNGKey(1), pcfg), net, mcfg=pcfg)
+    out3 = str(tmp_path / "r3")
+    rc = cli.main(
+        ["render", "HI", "--implicit", bank, "--placement", net, "--out", out3]
+    )
+    assert rc == 0
+    assert read_bmp(os.path.join(out3, "string_0.bmp")).shape == (80, 240)
+
+    assert cli.main(["render", "HI", "--implicit", "/nonexistent.npz"]) == 1
+
+
+def test_render_fast_flag(tmp_path):
+    """--fast renders with the bf16 frontend (serving-fast tier)."""
+    import jax
+
+    from ai_font_renderer_tpu.models import font_renderer
+    from ai_font_renderer_tpu.utils.checkpoint import save_params
+
+    weights = str(tmp_path / "w.npz")
+    mcfg = ModelConfig(max_length=16, sheet_height=16, sheet_width=48)
+    save_params(font_renderer.init(jax.random.PRNGKey(0), mcfg), weights, mcfg)
+    out = str(tmp_path / "rf")
+    rc = cli.main(["render", "HELLO", "--weights", weights, "--out", out, "--fast"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "string_0.bmp"))

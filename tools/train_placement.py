@@ -1,0 +1,293 @@
+"""Train the learned-placement transformer on the real corpus (TPU).
+
+Fits models/placement.py against the layout engine's own placements for
+the bit-exact LCG corpus, then reports: position RMSE / worst-case error
+on a held-out split, visibility accuracy, and the end-to-end neural
+render (placement net + SIREN bank, no layout engine) MSE against the
+bitmap pipeline's ground-truth sheets on the 15 adversarial test strings.
+
+Montserrat is the case that matters: proportional advances make glyph x a
+prefix sum over a variable-width sequence — the structure the reference's
+linear dictionary could not represent (RESULTS.md Montserrat rows) but a
+transformer should learn exactly.
+
+Usage: python tools/train_placement.py [--font montserrat|firacode]
+           [--samples 50000] [--epochs 30] [--out extended_runs/placement_X]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ai_font_renderer_tpu.config import (
+    FIRACODE_PATH,
+    MONTSERRAT_PATH,
+    PRINTABLE_ASCII,
+    ModelConfig,
+    SheetSpec,
+)
+from ai_font_renderer_tpu.fontgen.layout import AdvanceTable, encode_codes
+from ai_font_renderer_tpu.fontgen.textgen import generate_corpus
+from ai_font_renderer_tpu.fontgen.ttf import TrueTypeFont
+from ai_font_renderer_tpu.models import placement
+from ai_font_renderer_tpu.cli import TEST_STRINGS
+
+
+def build_table(
+    font_path: str, spec: SheetSpec, charset: str, kerned: bool
+) -> AdvanceTable:
+    font = TrueTypeFont.load(font_path)
+    adv = np.array(
+        [
+            font.advance(font.glyph_id(ord(c))) * spec.font_size / font.units_per_em
+            for c in charset
+        ]
+    )
+    kern = None
+    if kerned:
+        from ai_font_renderer_tpu.fontgen.kerning import KerningTable
+
+        kern = KerningTable(font_path, charset, spec.font_size)
+    return AdvanceTable(charset, adv, kern)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--font", default="montserrat", choices=["montserrat", "firacode"])
+    ap.add_argument("--samples", type=int, default=50000)
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--e2e-steps", type=int, default=3000)
+    ap.add_argument("--no-e2e", action="store_true")
+    ap.add_argument(
+        "--finetune-steps",
+        type=int,
+        default=200,
+        help="end-to-end pixel fine-tune: gradients flow from sheet MSE "
+        "through the differentiable SIREN composition into the placement "
+        "net, absorbing anchoring residuals supervision can't see "
+        "(0 = skip; requires the e2e SIREN bank)",
+    )
+    args = ap.parse_args()
+
+    font_path = MONTSERRAT_PATH if args.font == "montserrat" else FIRACODE_PATH
+    out_dir = args.out or f"extended_runs/placement_{args.font}"
+    os.makedirs(out_dir, exist_ok=True)
+    metrics = open(os.path.join(out_dir, "metrics.jsonl"), "a", buffering=1)
+
+    spec = SheetSpec()
+    pcfg = ModelConfig()
+    charset = PRINTABLE_ASCII  # index 0 is space, the engine convention
+    kerned = args.font == "montserrat"  # proportional pipeline kerns
+    table = build_table(font_path, spec, charset, kerned)
+
+    t0 = time.time()
+    strings = generate_corpus(args.samples)
+    codes_np = encode_codes(strings, spec.max_chars)
+    mids_np, vis_np = placement.placement_targets(strings, table, spec)
+    print(f"targets built in {time.time() - t0:.1f} s", flush=True)
+
+    n_val = args.samples // 5
+    rng = np.random.default_rng(42)
+    perm = rng.permutation(args.samples)
+    tr, va = perm[n_val:], perm[:n_val]
+    codes = jnp.asarray(codes_np)
+    mids = jnp.asarray(mids_np)
+    vis = jnp.asarray(vis_np)
+
+    params = placement.init(jax.random.PRNGKey(0), pcfg)
+    opt = optax.adamw(args.lr, weight_decay=1e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, c, m, v, key):
+        loss, grads = jax.value_and_grad(placement.loss_fn)(
+            params, c, m, v, pcfg, key=key, train=True
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def evaluate(params, c, m, v):
+        xy, logit = placement.apply(params, c, pcfg, train=False)
+        vf = v.astype(jnp.float32)
+        n = jnp.maximum(vf.sum(), 1.0)
+        se = jnp.sum((xy - m) ** 2, -1)
+        rmse = jnp.sqrt(jnp.sum(se * vf) / n)
+        worst = jnp.max(jnp.where(v, jnp.sqrt(se), 0.0))
+        acc = jnp.mean(((jax.nn.sigmoid(logit) > 0.5) == v).astype(jnp.float32))
+        return rmse, worst, acc
+
+    bsz = args.batch
+    steps_per_epoch = len(tr) // bsz
+    key = jax.random.PRNGKey(7)
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        order = rng.permutation(tr)
+        loss_sum = 0.0
+        for s in range(steps_per_epoch):
+            idx = jnp.asarray(order[s * bsz : (s + 1) * bsz])
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(
+                params, opt_state, codes[idx], mids[idx], vis[idx], sub
+            )
+            loss_sum += float(loss)
+        vi = jnp.asarray(va[: 4096])
+        rmse, worst, acc = evaluate(params, codes[vi], mids[vi], vis[vi])
+        rec = {
+            "epoch": epoch,
+            "train_loss": loss_sum / max(steps_per_epoch, 1),
+            "val_rmse_px": float(rmse),
+            "val_worst_px": float(worst),
+            "val_vis_acc": float(acc),
+            "seconds": time.time() - t0,
+        }
+        print(json.dumps(rec), flush=True)
+        metrics.write(json.dumps(rec) + "\n")
+
+    from ai_font_renderer_tpu.utils.checkpoint import save_params
+
+    save_params(params, os.path.join(out_dir, "placement.npz"), mcfg=pcfg)
+
+    # End-to-end neural render vs bitmap ground truth (SIREN bank trained
+    # here, ~2 min), with the ENGINE-layout hybrid as the oracle floor —
+    # the gap between the two rows is the placement net's contribution.
+    from ai_font_renderer_tpu.fontgen.atlas import bake_atlas
+    from ai_font_renderer_tpu.fontgen.dataset import synthesize_ground_truth
+    from ai_font_renderer_tpu.models import siren
+    from ai_font_renderer_tpu.render.implicit_sheet import (
+        render_implicit_sheets,
+        render_learned_sheets,
+    )
+    from ai_font_renderer_tpu.train.implicit import train_siren
+
+    if args.no_e2e:
+        metrics.close()
+        return
+    scfg = siren.SirenConfig(n_chars=len(charset), cell=64)
+    sp, losses, _ = train_siren(
+        font_path, scfg, charset=charset, steps=args.e2e_steps, lr=3e-4
+    )
+    from ai_font_renderer_tpu.utils.checkpoint import save_siren
+
+    save_siren(sp, scfg, charset, os.path.join(out_dir, "siren.npz"))
+
+    if args.font == "montserrat":
+        from ai_font_renderer_tpu.fontgen.proportional import bake_prop_atlas
+
+        atlas = bake_prop_atlas(font_path)
+    else:
+        atlas = bake_atlas(font_path)
+
+    if args.finetune_steps > 0:
+        # End-to-end pixel fine-tune: sheet MSE -> compose() -> placement.
+        # compose is differentiable in the window origins (coords enter the
+        # SIREN input as (px - origin)/r), so pixels correct the anchoring
+        # residuals position supervision cannot express (e.g. the prop
+        # pipeline anchors cells by bearing_x, the SIREN cell by advance
+        # midpoint).
+        from ai_font_renderer_tpu.fontgen.layout import encode_codes as _enc
+        from ai_font_renderer_tpu.render.implicit_sheet import (
+            build_layout,
+            compose,
+            origins_from_midpoints,
+        )
+        from ai_font_renderer_tpu.fontgen.ttf import TrueTypeFont as _TTF
+
+        ft_n = 256
+        ft_strings = [strings[i] for i in tr[:ft_n]]
+        gt_ft = np.asarray(
+            synthesize_ground_truth(atlas, ft_strings), np.float32
+        )
+        if gt_ft.max() > 1.5:
+            gt_ft = gt_ft / 255.0
+        gt_ft = jnp.asarray(gt_ft)
+        lay = build_layout(
+            _TTF.load(font_path), spec, scfg.cell, max_glyphs=pcfg.max_length
+        )
+        ft_codes = jnp.asarray(_enc(ft_strings, pcfg.max_length))
+        cidx = {c: i for i, c in enumerate(charset)}
+        ids_np = np.zeros((ft_n, pcfg.max_length), np.int32)
+        val_np = np.zeros((ft_n, pcfg.max_length), bool)
+        for si, s in enumerate(ft_strings):
+            for ci, ch in enumerate(s[: pcfg.max_length]):
+                k = cidx.get(ch)
+                if k is not None and ch != " ":
+                    ids_np[si, ci] = k
+                    val_np[si, ci] = True
+        ft_ids, ft_valid = jnp.asarray(ids_np), jnp.asarray(val_np)
+
+        def pixel_loss(p, c, ids, valid, gt):
+            xy, _ = placement.apply(p, c, pcfg, train=False)
+            origins = origins_from_midpoints(xy, lay)
+            sheets = compose(sp, ids, origins, valid, scfg, lay)
+            return jnp.mean((sheets - gt) ** 2)
+
+        ft_opt = optax.adam(1e-4)
+        ft_state = ft_opt.init(params)
+
+        @jax.jit
+        def ft_step(p, st, c, ids, valid, gt):
+            loss, grads = jax.value_and_grad(pixel_loss)(p, c, ids, valid, gt)
+            updates, st = ft_opt.update(grads, st)
+            return optax.apply_updates(p, updates), st, loss
+
+        bs = 64
+        first_px = last_px = None
+        for s in range(args.finetune_steps):
+            lo = (s * bs) % ft_n
+            sl = slice(lo, lo + bs)
+            params, ft_state, px_loss = ft_step(
+                params, ft_state, ft_codes[sl], ft_ids[sl], ft_valid[sl], gt_ft[sl]
+            )
+            if first_px is None:
+                first_px = float(px_loss)
+            last_px = float(px_loss)
+        rec = {"finetune_pixel_mse_first": first_px, "finetune_pixel_mse_last": last_px}
+        print(json.dumps(rec), flush=True)
+        metrics.write(json.dumps(rec) + "\n")
+        save_params(
+            params, os.path.join(out_dir, "placement_finetuned.npz"), mcfg=pcfg
+        )
+
+    learned = render_learned_sheets(
+        sp, params, TEST_STRINGS, font_path, scfg, pcfg, spec, charset=charset
+    )
+    oracle = render_implicit_sheets(
+        sp, TEST_STRINGS, font_path, scfg, spec, charset=charset
+    )
+    if args.font == "montserrat":
+        from ai_font_renderer_tpu.fontgen.proportional import bake_prop_atlas
+
+        atlas = bake_prop_atlas(font_path)
+    else:
+        atlas = bake_atlas(font_path)
+    gt = np.asarray(synthesize_ground_truth(atlas, TEST_STRINGS), np.float32)
+    if gt.max() > 1.5:
+        gt = gt / 255.0
+    rec = {
+        "end_to_end_neural_render_mse": float(np.mean((learned - gt) ** 2)),
+        "engine_layout_oracle_mse": float(np.mean((oracle - gt) ** 2)),
+        "siren_final_loss": float(losses[-1]),
+        "font": args.font,
+    }
+    print(json.dumps(rec), flush=True)
+    metrics.write(json.dumps(rec) + "\n")
+    metrics.close()
+
+
+if __name__ == "__main__":
+    main()
