@@ -134,3 +134,39 @@ def test_render_learned_sheets_composes():
     )
     assert sheets.shape == (2, 48, 96)
     assert sheets.min() >= 0.0 and sheets.max() <= 1.0
+
+
+def test_pixel_gradients_flow_through_composition():
+    """End-to-end differentiability: sheet-MSE gradients reach the
+    placement params through compose() (coords enter the SIREN input as
+    (px - origin)/r, so d sheet / d origin is well-defined a.e.) — the
+    property the pixel fine-tune phase (tools/train_placement.py) uses."""
+    import jax.numpy as jnp
+
+    from ai_font_renderer_tpu.fontgen.ttf import TrueTypeFont
+    from ai_font_renderer_tpu.models import siren
+    from ai_font_renderer_tpu.render.implicit_sheet import (
+        build_layout,
+        compose,
+    )
+
+    spec = SheetSpec(width=96, height=48, max_chars=16)
+    pcfg = ModelConfig(max_length=16, sheet_height=48, sheet_width=96)
+    scfg = siren.SirenConfig(n_chars=len(CHARSET), cell=16, hidden_dim=16, n_layers=2)
+    sp = siren.init(jax.random.PRNGKey(0), scfg)
+    params = placement.init(jax.random.PRNGKey(1), pcfg)
+    lay = build_layout(
+        TrueTypeFont.load(FIRACODE_PATH), spec, scfg.cell, max_glyphs=16
+    )
+    codes = jnp.asarray(encode_codes(["AB CD"], 16))
+    ids = jnp.asarray([[1, 2, 0, 3, 4] + [0] * 11])
+    valid = jnp.asarray([[True, True, False, True, True] + [False] * 11])
+
+    def pixel_loss(p):
+        xy, _ = placement.apply(p, codes, pcfg, train=False)
+        origins = origins_from_midpoints(xy, lay)
+        return jnp.mean(compose(sp, ids, origins, valid, scfg, lay) ** 2)
+
+    grads = jax.grad(pixel_loss)(params)
+    gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
+    assert gnorm > 0.0
