@@ -262,11 +262,14 @@ def cmd_render(args) -> int:
         # Rasterizer ground truth with full shaping (GSUB ligatures + GPOS
         # kerning) — what node-canvas/HarfBuzz would draw for the string
         # (generate_font.ts:100-141), independent of any trained model.
+        # --hinted adds the FreeType-style grid fit (fontgen/hinting.py).
         from .fontgen.bmp import write_bmp
-        from .fontgen.shaped import render_shaped_sheets
+        from .fontgen.shaped import ShapedRenderer
 
         strings = args.strings or TEST_STRINGS
-        sheets = render_shaped_sheets(args.font, strings)
+        sheets = ShapedRenderer(
+            args.font, hinted=getattr(args, "hinted", False)
+        ).render_batch(strings)
         os.makedirs(args.out, exist_ok=True)
         for i, sheet in enumerate(sheets):
             write_bmp(os.path.join(args.out, f"string_{i}.bmp"), sheet)
@@ -395,6 +398,12 @@ def main(argv: list[str] | None = None) -> int:
             action="store_true",
             help="bf16 frontend for inference (serving-fast tier; ~1 gray "
             "level delta, measured in bench.py alongside int8)",
+        )
+        p_ren.add_argument(
+            "--hinted",
+            action="store_true",
+            help="with --truth: FreeType-style vertical grid fit "
+            "(fontgen/hinting.py) instead of the exact unhinted contract",
         )
         p_ren.add_argument(
             "--implicit",

@@ -34,9 +34,14 @@ class ShapedRenderer:
         spec: SheetSpec | None = None,
         shape: bool = True,
         kern: bool = True,
+        hinted: bool = False,
     ):
         """``shape``/``kern`` exist for ablation studies (fidelity tests
-        compare shaped vs unshaped renders against HarfBuzz output)."""
+        compare shaped vs unshaped renders against HarfBuzz output).
+        ``hinted`` adds FreeType-style light grid fitting (fontgen/
+        hinting.py): integer baselines + blue-zone snapping — for
+        comparisons against hinted FreeType output only, never the
+        dataset contract."""
         self.spec = spec or SheetSpec()
         self.font_path = font_path
         self.font = TrueTypeFont.load(font_path)
@@ -45,6 +50,11 @@ class ShapedRenderer:
             self.shaper.enabled = []
         self.kern = kern
         self.scale = self.spec.font_size / self.font.units_per_em
+        self.hinted = hinted
+        if hinted:
+            from .hinting import BlueZones
+
+            self._zones = BlueZones.from_font(self.font, self.scale)
         self._flat_cache: dict[int, np.ndarray] = {}
         self._adv_cache: dict[str, AdvanceTable] = {}
         self._kern_cache: dict[frozenset, dict] = {}
@@ -77,7 +87,12 @@ class ShapedRenderer:
 
     def _flat(self, gid: int) -> np.ndarray:
         if gid not in self._flat_cache:
-            self._flat_cache[gid] = flatten_glyph(self.font.glyph(gid), self.scale)
+            segs = flatten_glyph(self.font.glyph(gid), self.scale)
+            if self.hinted and len(segs):
+                from .hinting import hint_segments
+
+                segs = hint_segments(segs, self._zones)
+            self._flat_cache[gid] = segs
         return self._flat_cache[gid]
 
     def render(self, text: str) -> np.ndarray:
@@ -99,6 +114,11 @@ class ShapedRenderer:
             kern = self._kern_pairs(all_gids) if (all_gids and self.kern) else {}
             for l, run in enumerate(runs):
                 baseline = (l + 1) * spec.line_height
+                if self.hinted:
+                    # FreeType rounds the pen's baseline to a pixel row,
+                    # half-down (measured in PIL: 13.50 -> row 13,
+                    # 13.51 -> row 14).
+                    baseline = float(np.ceil(baseline - 0.5))
                 if baseline - spec.font_size > spec.height:
                     break  # whole line starts below the sheet
                 pen = float(spec.padding)

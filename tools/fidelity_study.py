@@ -90,6 +90,8 @@ def main():
     atlas = bake_atlas(FIRACODE_PATH, spec)
     shaped = ShapedRenderer(FIRACODE_PATH, spec)
 
+    hinted = ShapedRenderer(FIRACODE_PATH, spec, hinted=True)
+
     for label, strings in [
         ("FiraCode 15 adversarial test strings", list(TEST_STRINGS)),
         ("FiraCode 100 corpus samples", corpus),
@@ -98,7 +100,13 @@ def main():
         pil = [pil_render(FIRACODE_PATH, s, spec) for s in strings]
         study(f"{label} [atlas truth vs FT+HB]", list(ours_atlas), pil)
         ours_sh = shaped.render_batch(strings)
-        study(f"{label} [shaped vs FT+HB]", list(ours_sh), pil)
+        m_u = study(f"{label} [shaped vs FT+HB]", list(ours_sh), pil)
+        ours_h = hinted.render_batch(strings)
+        m_h = study(f"{label} [shaped+HINTED vs FT+HB]", list(ours_h), pil)
+        print(
+            f"  -> hinting emulation reduces the FreeType delta by "
+            f"{100*(1-m_h/m_u):.0f}%"
+        )
 
     # --- FiraCode ligatures: shaping must move us TOWARD HarfBuzz --------
     liga_strings = ["a->b != c", "x => y === z", "www <=> :: !="]
