@@ -93,12 +93,15 @@ class ModelConfig:
     # v2 fused attention (ops/fused_attention.py:fused_attention2): the
     # dropout mask is WRITTEN to HBM (uint8 [B,H,S,S], ~41 MB at flagship
     # shapes — a ~0.1 ms round trip) instead of regenerated in the
-    # backward, which decouples the fwd/bwd grids and lifts round 2's
-    # 8-row tile cap. Takes precedence over fused_attention when set.
-    # Single-device only (like fused_attention and fused_dw_adamw):
-    # train() raises on a multi-device mesh.
+    # backward, which decouples the fwd/bwd grids (round 2's v1 pinned
+    # them equal at 8). Measured VMEM reality on v5e (16 MB scoped
+    # limit): the fwd kernel stack is ~12.9 MB at tile 16 and overflows
+    # at 32 (25.7 MB) — the per-tile [bb,H,S,S] probs+mask dominate — so
+    # 16 is the fwd cap; the bwd tile is independent. Takes precedence
+    # over fused_attention when set. Single-device only (like
+    # fused_attention and fused_dw_adamw): train() raises on a mesh.
     fused_attention_v2: bool = False
-    fa2_tile_fwd: int = 64
+    fa2_tile_fwd: int = 16
     fa2_tile_bwd: int = 16
     # Sheet decoder. "linear" is the reference architecture (model.py:152):
     # one 6400x19200 projection — a per-(slot, pixel) dictionary, 99.99% of

@@ -51,12 +51,15 @@ def main() -> None:
     }
     print("grad rel max diffs:", {k: f"{v:.2e}" for k, v in gdiffs.items()})
 
-    # 2. train-step latency sweep on the real epoch-scan path
+    # 2. train-step latency sweep on the real epoch-scan path.
+    # fwd tiles > 16 overflow the 16 MB scoped-VMEM stack (measured:
+    # 51.5 MB at 64, so ~12.9 MB at 16); (32, 16) stays in the sweep to
+    # document the cap as a loud failure.
     rows = [
         ("xla", dict()),
         ("v1 t8", dict(fused_attention=True, fused_attention_tile=8)),
     ]
-    for tf, tb in [(32, 16), (64, 16), (64, 32), (128, 16), (128, 32)]:
+    for tf, tb in [(8, 8), (16, 8), (16, 16), (16, 32), (32, 16)]:
         rows.append(
             (f"v2 f{tf}/b{tb}",
              dict(fused_attention_v2=True, fa2_tile_fwd=tf, fa2_tile_bwd=tb))
