@@ -396,8 +396,11 @@ def main(argv: list[str] | None = None) -> int:
         p_ren.add_argument(
             "--fast",
             action="store_true",
-            help="bf16 frontend for inference (serving-fast tier; ~1 gray "
-            "level delta, measured in bench.py alongside int8)",
+            help="bf16 frontend for inference (~1 gray level delta). "
+            "Measured NEGATIVE for throughput on v5e eval (29.1 -> 24.6M "
+            "glyphs/sec, tools/ab_serving_tiers.py: without dropout to "
+            "save, the cast overhead dominates) — use --int8 for the "
+            "fast tier; kept for A/B reproducibility",
         )
         p_ren.add_argument(
             "--hinted",
@@ -445,8 +448,9 @@ def main(argv: list[str] | None = None) -> int:
         p_srv.add_argument(
             "--fast",
             action="store_true",
-            help="bf16 frontend for serving (combine with --int8 for the "
-            "fastest tier)",
+            help="bf16 frontend for serving. Measured NEGATIVE on v5e "
+            "eval (tools/ab_serving_tiers.py) — --int8 alone is the fast "
+            "tier; kept for A/B reproducibility",
         )
         args = parser.parse_args(argv)
         return {

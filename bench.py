@@ -113,10 +113,11 @@ def main() -> None:
         q8_dt = min(q8_dt, time.perf_counter() - t0)
     int8_glyphs_per_sec = batch * iters * q8_mcfg.max_length / q8_dt
 
-    # int8 head + bf16 frontend: the serving-fast combo. The int8 GEMM
-    # already tolerates larger numerics deltas than bf16 rounding, so the
-    # frontend (traffic-bound, ~3.3 ms of the f32 forward, RESULTS.md
-    # roofline table) can drop to bf16 too.
+    # int8 head + bf16 frontend: a measured NEGATIVE combo (RESULTS.md
+    # "Serving tiers": 28.3M vs plain int8's 34.1M — eval has no dropout
+    # traffic to save, so the casts around the f32 softmax/LN stats are
+    # pure overhead). Kept in the artifact so the claim stays bracketed
+    # by the driver's own numbers.
     import dataclasses
 
     q8f_mcfg = dataclasses.replace(q8_mcfg, bf16_frontend=True)
