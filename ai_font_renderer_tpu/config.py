@@ -94,15 +94,18 @@ class ModelConfig:
     # dropout mask is WRITTEN to HBM (uint8 [B,H,S,S], ~41 MB at flagship
     # shapes — a ~0.1 ms round trip) instead of regenerated in the
     # backward, which decouples the fwd/bwd grids (round 2's v1 pinned
-    # them equal at 8). Measured VMEM reality on v5e (16 MB scoped
-    # limit): the fwd kernel stack is ~12.9 MB at tile 16 and overflows
-    # at 32 (25.7 MB) — the per-tile [bb,H,S,S] probs+mask dominate — so
-    # 16 is the fwd cap; the bwd tile is independent. Takes precedence
-    # over fused_attention when set. Single-device only (like
-    # fused_attention and fused_dw_adamw): train() raises on a mesh.
+    # them equal at 8). VMEM reality on v5e: under Mosaic's DEFAULT 16 MB
+    # scoped limit the fwd stack caps the tile at 16 (12.9 MB; 25.7 at
+    # 32) and the recompute-heavy bwd at <8 (16.25 MB at 8) — but the
+    # core has 128 MB physical VMEM, and the kernels now raise
+    # vmem_limit_bytes to 100 MB (ops/fused_attention.py:_VMEM_LIMIT),
+    # lifting the caps to fwd<=64 (51.5 MB) and bwd<=32 (~66 MB),
+    # AOT-measured scaling. Takes precedence over fused_attention when
+    # set. Single-device only (like fused_attention and fused_dw_adamw):
+    # train() raises on a mesh.
     fused_attention_v2: bool = False
-    fa2_tile_fwd: int = 16
-    fa2_tile_bwd: int = 16
+    fa2_tile_fwd: int = 64
+    fa2_tile_bwd: int = 32
     # Sheet decoder. "linear" is the reference architecture (model.py:152):
     # one 6400x19200 projection — a per-(slot, pixel) dictionary, 99.99% of
     # all parameters. "conv" replaces it with a position-equivariant

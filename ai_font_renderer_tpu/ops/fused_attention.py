@@ -38,6 +38,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Mosaic's scoped-VMEM allocator defaults to a conservative 16 MB, which
+# is what capped round 2's batch tile at 8 rows (fwd stack 91 MB at tile
+# 128) and round 3's v2 backward at <8 (16.25 MB at tile 8). The v5e core
+# has 128 MB of physical VMEM; raising the limit to 100 MB (leaving ~28 MB
+# for the pipeline's own buffers) is the documented escape hatch
+# (CompilerParams.vmem_limit_bytes) and unlocks the MXU-sized tiles the
+# round-2 negative said were impossible.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
 def _head_bits(shape, h, seed_ref, interpret):
     """Per-head uint32 dropout bits. On TPU: the stateful hardware PRNG
     (seeded once per tile; heads consume the stream in order). In interpret
@@ -279,6 +289,7 @@ def _fwd(heads, dropout_rate, bb, interpret, x, weights, seed):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # PRNG stream is stateful
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(
         seed_arr, x,
@@ -325,6 +336,7 @@ def _bwd(heads, dropout_rate, bb, interpret, res, g):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(
         seed_arr, x, g.astype(x.dtype),
@@ -562,6 +574,7 @@ def _fwd2(heads, dropout_rate, bb_fwd, bb_bwd, interpret, x, weights, seed):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),  # PRNG stream is stateful
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(
         seed_arr, x,
@@ -605,6 +618,7 @@ def _bwd2(heads, dropout_rate, bb_fwd, bb_bwd, interpret, res, g):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),  # no PRNG in the backward
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
     )(
         x, g.astype(x.dtype), mask,

@@ -52,14 +52,17 @@ def main() -> None:
     print("grad rel max diffs:", {k: f"{v:.2e}" for k, v in gdiffs.items()})
 
     # 2. train-step latency sweep on the real epoch-scan path.
-    # fwd tiles > 16 overflow the 16 MB scoped-VMEM stack (measured:
-    # 51.5 MB at 64, so ~12.9 MB at 16); (32, 16) stays in the sweep to
-    # document the cap as a loud failure.
+    # The kernels raise Mosaic's scoped-VMEM limit from the default
+    # 16 MB to 100 MB (_VMEM_LIMIT — the v5e core has 128 MB physical),
+    # which lifts the AOT-measured caps from fwd 16 / bwd 8 to fwd 64 /
+    # bwd 32 (v2) and shared tile 32 (v1: its bwd stack is ~63 MB at
+    # 32, ~126 MB at 64). Sweep brackets both the old caps and the new.
     rows = [
         ("xla", dict()),
         ("v1 t8", dict(fused_attention=True, fused_attention_tile=8)),
+        ("v1 t32", dict(fused_attention=True, fused_attention_tile=32)),
     ]
-    for tf, tb in [(8, 8), (16, 8), (16, 16), (16, 32), (32, 16)]:
+    for tf, tb in [(16, 8), (32, 16), (64, 32)]:
         rows.append(
             (f"v2 f{tf}/b{tb}",
              dict(fused_attention_v2=True, fa2_tile_fwd=tf, fa2_tile_bwd=tb))
@@ -74,6 +77,43 @@ def main() -> None:
                       f"{str(e)[:120]}")
                 continue
             print(f"train step [{tag} fast={fast}]: {dt*1e3:.2f} ms")
+
+    # 3. eval-mode forward (the serving/headline path): dropout is
+    # inactive, so v1 (no mask write) is the right kernel shape; its
+    # eval tile can exceed the train cap (fwd-only stack: ~45 MB at 64,
+    # ~91 MB at 128).
+    def eval_time(cfg, iters=50):
+        @jax.jit
+        def f(p, c):
+            out = font_renderer.apply(p, c, cfg, train=False)
+            delta = (out[:, :1, :100] * 7).astype(jnp.int32)
+            return out, (c + delta.reshape(c.shape)) % 26 + 65
+
+        out, c = f(params, codes)
+        jax.block_until_ready((out, c))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            cc = codes
+            for _ in range(iters):
+                out, cc = f(params, cc)
+            float(out.mean())
+            best = min(best, time.perf_counter() - t0)
+        return best / iters
+
+    for tag, kw in [
+        ("xla", dict()),
+        ("v1 t32", dict(fused_attention=True, fused_attention_tile=32)),
+        ("v1 t64", dict(fused_attention=True, fused_attention_tile=64)),
+        ("v1 t128", dict(fused_attention=True, fused_attention_tile=128)),
+    ]:
+        try:
+            dt = eval_time(ModelConfig(**kw))
+        except Exception as e:
+            print(f"eval fwd [{tag}]: FAILED {type(e).__name__}: {str(e)[:120]}")
+            continue
+        print(f"eval fwd [{tag}]: {dt*1e3:.3f} ms/batch = "
+              f"{1024 * 100 / dt / 1e6:.1f}M glyphs/sec")
 
 
 if __name__ == "__main__":

@@ -69,6 +69,14 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument(
+        "--schedule",
+        default="const",
+        choices=["const", "cosine"],
+        help="const = round-3 baseline protocol; cosine = 5%% linear "
+        "warmup then cosine decay to 0 over the full epoch budget "
+        "(for the longer runs — constant 1e-3 never anneals the tail)",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--e2e-steps", type=int, default=3000)
     ap.add_argument("--no-e2e", action="store_true")
@@ -109,7 +117,14 @@ def main() -> None:
     vis = jnp.asarray(vis_np)
 
     params = placement.init(jax.random.PRNGKey(0), pcfg)
-    opt = optax.adamw(args.lr, weight_decay=1e-4)
+    total_steps = max(args.epochs * (len(tr) // args.batch), 1)
+    if args.schedule == "cosine":
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, args.lr, max(total_steps // 20, 1), total_steps
+        )
+    else:
+        lr = args.lr
+    opt = optax.adamw(lr, weight_decay=1e-4)
     opt_state = opt.init(params)
 
     @jax.jit
