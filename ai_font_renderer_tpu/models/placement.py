@@ -33,8 +33,27 @@ from ..fontgen.layout import AdvanceTable
 from . import font_renderer
 
 
-def init(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
-    """Frontend params + a per-slot (x, y, visibility) head."""
+def init(
+    key: jax.Array, cfg: ModelConfig = ModelConfig(), *, lines: int = 0
+) -> dict:
+    """Frontend params + a per-slot placement head.
+
+    ``lines=0`` (default): the round-3 baseline head — 3 units per slot,
+    (x, y, visibility), y regressed directly. ``lines=L`` (L >= 2): the
+    line-classification head — 2 + L units, (x, visibility,
+    line-logits[L]); y is *decoded* from the line distribution instead
+    of regressed. Motivation (RESULTS.md "Learned glyph placement"): the
+    long-budget runs pinned worst-case error at ~1 sheet width on both
+    fonts — mispredicted line-break decisions displacing every later
+    glyph by a full line — while average RMSE converged. A break is a
+    discrete decision; classifying the line index turns that failure
+    mode into a CE loss the transformer can actually optimize. The head
+    mode is carried by the weight shape (3 vs 2+L columns), so saved
+    checkpoints round-trip through the same npz contract with no config
+    changes.
+    """
+    if lines == 1:
+        raise ValueError("lines must be 0 (regression head) or >= 2")
     k_front, k_head = jax.random.split(key)
     params = {
         k: v
@@ -42,10 +61,19 @@ def init(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
         if not k.startswith("out_")  # drop the sheet decoder; keep frontend
     }
     h = cfg.hidden_dim
+    n_out = 3 if lines == 0 else 2 + lines
     bound = 1.0 / h**0.5
-    params["place_w"] = jax.random.uniform(k_head, (h, 3), minval=-bound, maxval=bound)
-    params["place_b"] = jnp.zeros((3,))
+    params["place_w"] = jax.random.uniform(
+        k_head, (h, n_out), minval=-bound, maxval=bound
+    )
+    params["place_b"] = jnp.zeros((n_out,))
     return params
+
+
+def head_lines(params: dict) -> int:
+    """0 for the regression head, L for a line-classification head."""
+    n = params["place_w"].shape[1]
+    return 0 if n == 3 else n - 2
 
 
 @jax.jit
@@ -66,10 +94,35 @@ def apply(
     midpoints[..., 0] is the glyph's advance-midpoint x, midpoints[..., 1]
     its baseline y, both at base scale (SheetSpec geometry); the sigmoid of
     the logit is the probability the slot places ink (non-space, placed).
+
+    With a line-classification head (see ``init(lines=L)``), y is the
+    line-distribution expectation sum_l p_l * (l+1) * line_height —
+    differentiable (the e2e pixel fine-tune still flows through it) and
+    equal to the argmax decode once the logits peak.
     """
     x = font_renderer.features(params, codes, cfg, train=train, key=key)
-    out = _head(x, params["place_w"], params["place_b"])  # [B, S, 3]
-    return out[..., :2], out[..., 2]
+    out = _head(x, params["place_w"], params["place_b"])  # [B, S, 3 | 2+L]
+    L = head_lines(params)
+    if L == 0:
+        return out[..., :2], out[..., 2]
+    baselines = (jnp.arange(L, dtype=jnp.float32) + 1.0) * SheetSpec().line_height
+    y = jax.nn.softmax(out[..., 2:], axis=-1) @ baselines
+    return jnp.stack([out[..., 0], y], axis=-1), out[..., 1]
+
+
+def line_logits(
+    params: dict,
+    codes: jax.Array,
+    cfg: ModelConfig = ModelConfig(),
+    *,
+    train: bool = False,
+    key: jax.Array | None = None,
+) -> jax.Array:
+    """Raw per-slot line logits [B, S, L] (line-classification head only)."""
+    if head_lines(params) == 0:
+        raise ValueError("regression head has no line logits")
+    x = font_renderer.features(params, codes, cfg, train=train, key=key)
+    return _head(x, params["place_w"], params["place_b"])[..., 2:]
 
 
 def placement_targets(
@@ -158,11 +211,34 @@ def loss_fn(
     key: jax.Array | None = None,
     train: bool = True,
 ) -> jax.Array:
-    """Masked position MSE (px^2, visible slots) + visibility BCE."""
-    pred_xy, logit = apply(params, codes, cfg, train=train, key=key)
+    """Masked position loss (visible slots) + visibility BCE.
+
+    Regression head: x/y MSE in px^2. Line-classification head: x MSE +
+    weighted line cross-entropy — the CE weight (100) makes one
+    confidently-wrong line decision cost on the order of its old y^2
+    penalty ((1.2 * line_height)^2 ~ 300 px^2), so the break structure
+    is optimized as hard as the old loss only *implicitly* did.
+    """
     visf = vis.astype(jnp.float32)
     n_vis = jnp.maximum(jnp.sum(visf), 1.0)
-    pos = jnp.sum(jnp.sum((pred_xy - mids) ** 2, -1) * visf) / n_vis
+    L = head_lines(params)
+    if L == 0:
+        pred_xy, logit = apply(params, codes, cfg, train=train, key=key)
+        pos = jnp.sum(jnp.sum((pred_xy - mids) ** 2, -1) * visf) / n_vis
+    else:
+        x = font_renderer.features(params, codes, cfg, train=train, key=key)
+        out = _head(x, params["place_w"], params["place_b"])
+        logit = out[..., 1]
+        pos_x = jnp.sum((out[..., 0] - mids[..., 0]) ** 2 * visf) / n_vis
+        lh = SheetSpec().line_height
+        tgt = jnp.clip(
+            jnp.round(mids[..., 1] / lh).astype(jnp.int32) - 1, 0, L - 1
+        )
+        logp = jax.nn.log_softmax(out[..., 2:], axis=-1)
+        ce = -jnp.sum(
+            jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0] * visf
+        ) / n_vis
+        pos = pos_x + 100.0 * ce
     bce = jnp.mean(
         jnp.maximum(logit, 0) - logit * visf + jnp.log1p(jnp.exp(-jnp.abs(logit)))
     )

@@ -118,6 +118,82 @@ def test_loss_decreases_and_learns_positions():
     assert float(acc) > 0.95
 
 
+def test_line_head_shapes_and_decode():
+    """init(lines=L) carries the head mode in the weight shape; apply
+    decodes y as the line-distribution expectation, so a confident logit
+    lands exactly on (l+1) * line_height."""
+    pcfg = ModelConfig(max_length=16, sheet_height=48, sheet_width=96)
+    params = placement.init(jax.random.PRNGKey(0), pcfg, lines=3)
+    assert params["place_w"].shape == (pcfg.hidden_dim, 5)
+    assert placement.head_lines(params) == 3
+    assert placement.head_lines(placement.init(jax.random.PRNGKey(0), pcfg)) == 0
+    with pytest.raises(ValueError):
+        placement.init(jax.random.PRNGKey(0), pcfg, lines=1)
+
+    # Saturate the line-2 logit via the head bias: y must decode to the
+    # second baseline for every slot regardless of the input.
+    params["place_b"] = params["place_b"].at[3].set(50.0)
+    codes = jnp.asarray(encode_codes(["AB CD"], 16))
+    xy, _ = placement.apply(params, codes, pcfg, train=False)
+    lh = SheetSpec().line_height
+    np.testing.assert_allclose(np.asarray(xy[0, :, 1]), 2 * lh, rtol=1e-5)
+
+    ll = placement.line_logits(params, codes, pcfg, train=False)
+    assert ll.shape == (1, 16, 3)
+    with pytest.raises(ValueError):
+        placement.line_logits(
+            placement.init(jax.random.PRNGKey(0), pcfg), codes, pcfg
+        )
+
+
+def test_line_head_learns_breaks():
+    """The line-classification head fits a tiny wrapping corpus: every
+    visible slot's argmax line matches the engine's, and decoded y lands
+    within a pixel of the target baseline."""
+    import optax
+
+    spec = SheetSpec(width=96, height=48, max_chars=16)
+    pcfg = ModelConfig(max_length=16, sheet_height=48, sheet_width=96)
+    font = TrueTypeFont.load(FIRACODE_PATH)
+    table = _table(font, spec)
+    strings = ["AB CD", "HELLO", "WRAP ME NOW", "XY", "Q Q Q", "NOSPACES"]
+    codes = jnp.asarray(encode_codes(strings, spec.max_chars))
+    mids, vis = placement.placement_targets(strings, table, spec)
+    mids, vis = jnp.asarray(mids), jnp.asarray(vis)
+
+    L = 3
+    params = placement.init(jax.random.PRNGKey(0), pcfg, lines=L)
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(placement.loss_fn)(
+            params, codes, mids, vis, pcfg, train=False
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    first = None
+    for _ in range(600):
+        params, opt_state, loss = step(params, opt_state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.1 * first
+
+    lh = SheetSpec().line_height
+    ll = placement.line_logits(params, codes, pcfg, train=False)
+    tgt = jnp.clip(jnp.round(mids[..., 1] / lh).astype(jnp.int32) - 1, 0, L - 1)
+    line_acc = float(
+        jnp.sum((jnp.argmax(ll, -1) == tgt) * vis) / jnp.maximum(vis.sum(), 1)
+    )
+    assert line_acc == 1.0, f"line accuracy {line_acc}"
+
+    pred_xy, _ = placement.apply(params, codes, pcfg, train=False)
+    y_err = float(jnp.max(jnp.where(vis, jnp.abs(pred_xy[..., 1] - mids[..., 1]), 0.0)))
+    assert y_err < 1.0, f"worst decoded-y error {y_err:.2f} px"
+
+
 def test_render_learned_sheets_composes():
     """Fully neural path runs end-to-end with untrained params: correct
     shapes, values in [0, 1], and no layout engine involvement."""

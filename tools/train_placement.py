@@ -70,6 +70,16 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument(
+        "--line-head",
+        type=int,
+        default=0,
+        metavar="L",
+        help="use the line-classification head with L line classes "
+        "(models/placement.py init(lines=L)): y decoded from a line "
+        "distribution instead of regressed — targets the wrap-outlier "
+        "failure mode (worst-case ~1 sheet width) the long runs exposed",
+    )
+    ap.add_argument(
         "--schedule",
         default="const",
         choices=["const", "cosine"],
@@ -116,7 +126,7 @@ def main() -> None:
     mids = jnp.asarray(mids_np)
     vis = jnp.asarray(vis_np)
 
-    params = placement.init(jax.random.PRNGKey(0), pcfg)
+    params = placement.init(jax.random.PRNGKey(0), pcfg, lines=args.line_head)
     total_steps = max(args.epochs * (len(tr) // args.batch), 1)
     if args.schedule == "cosine":
         lr = optax.warmup_cosine_decay_schedule(
@@ -144,7 +154,17 @@ def main() -> None:
         rmse = jnp.sqrt(jnp.sum(se * vf) / n)
         worst = jnp.max(jnp.where(v, jnp.sqrt(se), 0.0))
         acc = jnp.mean(((jax.nn.sigmoid(logit) > 0.5) == v).astype(jnp.float32))
-        return rmse, worst, acc
+        if args.line_head:
+            lh = spec.line_height
+            ll = placement.line_logits(params, c, pcfg, train=False)
+            tgt = jnp.clip(
+                jnp.round(m[..., 1] / lh).astype(jnp.int32) - 1,
+                0, args.line_head - 1,
+            )
+            lacc = jnp.sum((jnp.argmax(ll, -1) == tgt) * vf) / n
+        else:
+            lacc = jnp.zeros(())
+        return rmse, worst, acc, lacc
 
     bsz = args.batch
     steps_per_epoch = len(tr) // bsz
@@ -161,7 +181,7 @@ def main() -> None:
             )
             loss_sum += float(loss)
         vi = jnp.asarray(va[: 4096])
-        rmse, worst, acc = evaluate(params, codes[vi], mids[vi], vis[vi])
+        rmse, worst, acc, lacc = evaluate(params, codes[vi], mids[vi], vis[vi])
         rec = {
             "epoch": epoch,
             "train_loss": loss_sum / max(steps_per_epoch, 1),
@@ -170,6 +190,8 @@ def main() -> None:
             "val_vis_acc": float(acc),
             "seconds": time.time() - t0,
         }
+        if args.line_head:
+            rec["val_line_acc"] = float(lacc)
         print(json.dumps(rec), flush=True)
         metrics.write(json.dumps(rec) + "\n")
 
