@@ -204,12 +204,14 @@ def test_render_learned_sheets_composes():
     spec = SheetSpec(width=96, height=48, max_chars=16)
     scfg = siren.SirenConfig(n_chars=len(CHARSET), cell=16, hidden_dim=16, n_layers=2)
     sp = siren.init(jax.random.PRNGKey(0), scfg)
-    pp = placement.init(jax.random.PRNGKey(1), pcfg)
-    sheets = render_learned_sheets(
-        sp, pp, ["AB", "HELLO X"], FIRACODE_PATH, scfg, pcfg, spec, charset=CHARSET
-    )
-    assert sheets.shape == (2, 48, 96)
-    assert sheets.min() >= 0.0 and sheets.max() <= 1.0
+    for lines in (0, 4):  # regression head and line-classification head:
+        # the npz/render contract is head-mode-agnostic (shape-carried)
+        pp = placement.init(jax.random.PRNGKey(1), pcfg, lines=lines)
+        sheets = render_learned_sheets(
+            sp, pp, ["AB", "HELLO X"], FIRACODE_PATH, scfg, pcfg, spec, charset=CHARSET
+        )
+        assert sheets.shape == (2, 48, 96)
+        assert sheets.min() >= 0.0 and sheets.max() <= 1.0
 
 
 def test_pixel_gradients_flow_through_composition():
