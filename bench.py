@@ -5,8 +5,12 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 The reference's inference path is structurally one sheet per device call in a
 Python loop (helpers.py:46-74); the driver target (BASELINE.json) is >=10k
 glyphs/sec batched atlas inference, which this script uses as the baseline
-denominator. We render max-length (100-glyph) sheets in fixed 1024-sheet
+denominator. We render max-length (100-glyph) sheets in fixed 2048-sheet
 device batches and count glyphs/sec with everything blocked to completion.
+Batch 2048 is the measured serving sweet spot (tools/bench_batch_sweep.py,
+extended_runs/batch_sweep.log): throughput rises to 2048 then falls —
+29.9M vs 26.2M glyphs/sec full precision within the sweep — because the
+eval forward is launch/bandwidth-bound below that and HBM-pressured above.
 """
 
 from __future__ import annotations
@@ -39,7 +43,7 @@ def main() -> None:
         mcfg = ModelConfig()
         params = font_renderer.init(jax.random.PRNGKey(0), mcfg)
 
-    batch = 1024
+    batch = 2048  # measured serving sweet spot (module docstring)
     glyphs_per_sheet = mcfg.max_length  # 100-char sheets
     key = jax.random.PRNGKey(1)
     codes = jax.random.randint(key, (batch, mcfg.max_length), 65, 91, jnp.int32)
