@@ -34,7 +34,12 @@ from . import font_renderer
 
 
 def init(
-    key: jax.Array, cfg: ModelConfig = ModelConfig(), *, lines: int = 0
+    key: jax.Array,
+    cfg: ModelConfig = ModelConfig(),
+    *,
+    lines: int = 0,
+    advances: np.ndarray | None = None,
+    kerning: np.ndarray | None = None,
 ) -> dict:
     """Frontend params + a per-slot placement head.
 
@@ -47,13 +52,34 @@ def init(
     fonts — mispredicted line-break decisions displacing every later
     glyph by a full line — while average RMSE converged. A break is a
     discrete decision; classifying the line index turns that failure
-    mode into a CE loss the transformer can actually optimize. The head
-    mode is carried by the weight shape (3 vs 2+L columns), so saved
-    checkpoints round-trip through the same npz contract with no config
-    changes.
+    mode into a CE loss the transformer can actually optimize.
+
+    ``advances`` (an ASCII-indexed [128] advance-px table; requires
+    ``lines >= 2``): the STRUCTURED head — 3 + L units per slot,
+    (x-residual, visibility, contribution, line-logits[L]). Instead of
+    regressing x absolutely, x is *derived* the way the engine computes
+    it: a prefix sum of the advances of the preceding contributing slots
+    on the same (predicted) line, plus pair kerning (``kerning``, an
+    ASCII-indexed [128, 128] px table), plus the learned residual — see
+    :func:`structured_x`. Motivation (RESULTS.md line-head runs): the
+    line head fixed y but left the worst-case pinned at ~1 sheet width
+    because a wrong BREAK still displaces x by up to a line width when x
+    is an absolute regression. Deriving x from the break structure turns
+    that displacement into (a) a line-classification error the CE
+    optimizes directly and (b) a one-advance-wide contribution error —
+    both bounded, neither a silent sheet-width shift. The advance/kern
+    tables ride in the checkpoint (``place_adv``/``place_kern``) so a
+    structured npz is self-contained; they are trainable, initialized
+    from the engine's metrics.
+
+    The head mode is carried by the weights themselves (shape of
+    ``place_w``; presence of ``place_adv``), so saved checkpoints
+    round-trip through the same npz contract with no config changes.
     """
     if lines == 1:
         raise ValueError("lines must be 0 (regression head) or >= 2")
+    if advances is not None and lines < 2:
+        raise ValueError("the structured head requires lines >= 2")
     k_front, k_head = jax.random.split(key)
     params = {
         k: v
@@ -61,7 +87,22 @@ def init(
         if not k.startswith("out_")  # drop the sheet decoder; keep frontend
     }
     h = cfg.hidden_dim
-    n_out = 3 if lines == 0 else 2 + lines
+    if advances is not None:
+        n_out = 3 + lines
+        adv = np.asarray(advances, np.float32)
+        if adv.shape != (128,):
+            raise ValueError("advances must be an ASCII-indexed [128] table")
+        params["place_adv"] = jnp.asarray(adv)
+        kern = (
+            np.zeros((128, 128), np.float32)
+            if kerning is None
+            else np.asarray(kerning, np.float32)
+        )
+        if kern.shape != (128, 128):
+            raise ValueError("kerning must be an ASCII-indexed [128,128] table")
+        params["place_kern"] = jnp.asarray(kern)
+    else:
+        n_out = 3 if lines == 0 else 2 + lines
     bound = 1.0 / h**0.5
     params["place_w"] = jax.random.uniform(
         k_head, (h, n_out), minval=-bound, maxval=bound
@@ -70,15 +111,71 @@ def init(
     return params
 
 
+def head_structured(params: dict) -> bool:
+    """True for the structured (derived-x) head."""
+    return "place_adv" in params
+
+
 def head_lines(params: dict) -> int:
-    """0 for the regression head, L for a line-classification head."""
+    """0 for the regression head, L for a line-aware head."""
     n = params["place_w"].shape[1]
+    if head_structured(params):
+        return n - 3
     return 0 if n == 3 else n - 2
 
 
 @jax.jit
 def _head(x, w, b):
     return x.astype(jnp.float32) @ w + b
+
+
+def structured_x(
+    params: dict,
+    codes: jax.Array,
+    contrib_logit: jax.Array,
+    line_log: jax.Array,
+    spec: SheetSpec = SheetSpec(),
+) -> jax.Array:
+    """Derive per-slot glyph-midpoint x from the predicted break structure.
+
+    Differentiable mirror of the engine's pen walk
+    (``placement_targets``): slot i's midpoint is
+
+        padding + sum_{j<i, same line, contributing} advance_j
+                + sum_{j<=i, same line, pair intra-line} kern(c_{j-1}, c_j)
+                + advance_i / 2
+
+    with "same line" soft (the inner product of the two slots' line
+    distributions) and "contributing" soft (the contribution sigmoid), so
+    gradients reach the line logits through x as well as through the CE.
+    At peaked predictions this equals the engine's x exactly: within a
+    line the engine's chars are consecutive original slots, and a line's
+    first char has no intra-line predecessor — matching same(j-1, j) -> 0
+    across a break. O(S^2) on S=100 slots: negligible.
+    """
+    adv = params["place_adv"][codes]  # [B, S]
+    kern = params["place_kern"][codes[:, :-1], codes[:, 1:]]  # [B, S-1]
+    kern = jnp.pad(kern, ((0, 0), (1, 0)))  # slot 0 has no predecessor
+    p_line = jax.nn.softmax(line_log, axis=-1)  # [B, S, L]
+    same = jnp.einsum("bil,bjl->bij", p_line, p_line)  # [B, S, S]
+    c = jax.nn.sigmoid(contrib_logit)  # [B, S]
+    c_prev = jnp.pad(c[:, :-1], ((0, 0), (1, 0)))
+    same_prev = jnp.pad(
+        jnp.einsum("bjl,bjl->bj", p_line[:, :-1], p_line[:, 1:]),
+        ((0, 0), (1, 0)),
+    )  # same(j-1, j)
+    step = c * adv
+    kstep = kern * c * c_prev * same_prev
+    S = codes.shape[1]
+    strict = jnp.tril(jnp.ones((S, S), jnp.float32), -1)
+    incl = jnp.tril(jnp.ones((S, S), jnp.float32), 0)
+    x = (
+        float(spec.padding)
+        + jnp.einsum("bij,bj->bi", same * strict, step)
+        + jnp.einsum("bij,bj->bi", same * incl, kstep)
+        + 0.5 * adv
+    )
+    return x
 
 
 def apply(
@@ -98,14 +195,21 @@ def apply(
     With a line-classification head (see ``init(lines=L)``), y is the
     line-distribution expectation sum_l p_l * (l+1) * line_height —
     differentiable (the e2e pixel fine-tune still flows through it) and
-    equal to the argmax decode once the logits peak.
+    equal to the argmax decode once the logits peak. With the structured
+    head, x is additionally derived from the predicted break structure
+    (:func:`structured_x`) plus the learned residual.
     """
     x = font_renderer.features(params, codes, cfg, train=train, key=key)
-    out = _head(x, params["place_w"], params["place_b"])  # [B, S, 3 | 2+L]
+    out = _head(x, params["place_w"], params["place_b"])  # [B,S,3|2+L|3+L]
     L = head_lines(params)
     if L == 0:
         return out[..., :2], out[..., 2]
     baselines = (jnp.arange(L, dtype=jnp.float32) + 1.0) * SheetSpec().line_height
+    if head_structured(params):
+        xr, vlogit, llog = out[..., 0], out[..., 1], out[..., 3:]
+        y = jax.nn.softmax(llog, axis=-1) @ baselines
+        px = structured_x(params, codes, out[..., 2], llog) + xr
+        return jnp.stack([px, y], axis=-1), vlogit
     y = jax.nn.softmax(out[..., 2:], axis=-1) @ baselines
     return jnp.stack([out[..., 0], y], axis=-1), out[..., 1]
 
@@ -118,11 +222,12 @@ def line_logits(
     train: bool = False,
     key: jax.Array | None = None,
 ) -> jax.Array:
-    """Raw per-slot line logits [B, S, L] (line-classification head only)."""
+    """Raw per-slot line logits [B, S, L] (line-aware heads only)."""
     if head_lines(params) == 0:
         raise ValueError("regression head has no line logits")
     x = font_renderer.features(params, codes, cfg, train=train, key=key)
-    return _head(x, params["place_w"], params["place_b"])[..., 2:]
+    off = 3 if head_structured(params) else 2
+    return _head(x, params["place_w"], params["place_b"])[..., off:]
 
 
 def placement_targets(
@@ -130,7 +235,8 @@ def placement_targets(
     table: AdvanceTable,
     spec: SheetSpec = SheetSpec(),
     max_glyphs: int = 100,
-) -> tuple[np.ndarray, np.ndarray]:
+    full: bool = False,
+):
     """Engine ground truth, indexed by ORIGINAL character slot.
 
     Returns (midpoints [N, S, 2] f32, visible [N, S] bool) where S =
@@ -140,6 +246,14 @@ def placement_targets(
     implicit_sheet.place_glyphs); spaces, unknown chars, characters
     whose separator space is consumed by a line break, and glyphs past
     ``max_glyphs`` are invisible (midpoints stay 0 — mask them in losses).
+
+    ``full=True`` additionally returns the structural supervision the
+    structured head trains on: (line_idx [N, S] int32, contrib [N, S]
+    bool). A slot CONTRIBUTES when the engine's pen walks over it — every
+    character that lands on some line, including intra-line spaces and
+    glyphs past ``max_glyphs`` — and its line_idx is that line. Consumed
+    break separators and vanished empty-token slots contribute nothing
+    (line_idx stays 0; mask with contrib).
     """
     S = spec.max_chars
     adv = table.advances_px
@@ -148,6 +262,8 @@ def placement_targets(
     n = len(strings)
     mids = np.zeros((n, S, 2), np.float32)
     vis = np.zeros((n, S), bool)
+    line_idx = np.zeros((n, S), np.int32)
+    contrib = np.zeros((n, S), bool)
     for si, text in enumerate(strings):
         text = text[:S]
         words = text.split(" ")
@@ -192,13 +308,26 @@ def placement_targets(
                     # engine's pen walk (proportional.py:layout_prop_grid).
                     pen += table.kern(prev, ch)
                 prev = ch
+                line_idx[si, ci] = li
+                contrib[si, ci] = True
                 if k is not None and ch != " " and g < max_glyphs:
                     mids[si, ci, 0] = pen + 0.5 * a
                     mids[si, ci, 1] = baseline
                     vis[si, ci] = True
                     g += 1
                 pen += a
+    if full:
+        return mids, vis, line_idx, contrib
     return mids, vis
+
+
+def _bce(logit: jax.Array, target_f: jax.Array) -> jax.Array:
+    """Mean sigmoid binary cross-entropy (numerically stable form)."""
+    return jnp.mean(
+        jnp.maximum(logit, 0)
+        - logit * target_f
+        + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+    )
 
 
 def loss_fn(
@@ -210,6 +339,8 @@ def loss_fn(
     *,
     key: jax.Array | None = None,
     train: bool = True,
+    line_tgt: jax.Array | None = None,
+    contrib_tgt: jax.Array | None = None,
 ) -> jax.Array:
     """Masked position loss (visible slots) + visibility BCE.
 
@@ -218,19 +349,45 @@ def loss_fn(
     confidently-wrong line decision cost on the order of its old y^2
     penalty ((1.2 * line_height)^2 ~ 300 px^2), so the break structure
     is optimized as hard as the old loss only *implicitly* did.
+
+    Structured head (requires ``line_tgt``/``contrib_tgt`` from
+    ``placement_targets(..., full=True)``): derived-x MSE (visible
+    slots) + weighted line CE over *contributing* slots (spaces shape
+    later glyphs' x, so their line assignment is supervised too) +
+    contribution BCE + visibility BCE.
     """
     visf = vis.astype(jnp.float32)
     n_vis = jnp.maximum(jnp.sum(visf), 1.0)
     L = head_lines(params)
+    lh = SheetSpec().line_height
     if L == 0:
         pred_xy, logit = apply(params, codes, cfg, train=train, key=key)
         pos = jnp.sum(jnp.sum((pred_xy - mids) ** 2, -1) * visf) / n_vis
+    elif head_structured(params):
+        if line_tgt is None or contrib_tgt is None:
+            raise ValueError(
+                "structured head needs line_tgt/contrib_tgt "
+                "(placement_targets(..., full=True))"
+            )
+        x = font_renderer.features(params, codes, cfg, train=train, key=key)
+        out = _head(x, params["place_w"], params["place_b"])
+        logit = out[..., 1]
+        llog = out[..., 3:]
+        px = structured_x(params, codes, out[..., 2], llog) + out[..., 0]
+        pos_x = jnp.sum((px - mids[..., 0]) ** 2 * visf) / n_vis
+        cf = contrib_tgt.astype(jnp.float32)
+        n_con = jnp.maximum(jnp.sum(cf), 1.0)
+        tgt = jnp.clip(line_tgt, 0, L - 1)
+        logp = jax.nn.log_softmax(llog, axis=-1)
+        ce = -jnp.sum(
+            jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0] * cf
+        ) / n_con
+        pos = pos_x + 100.0 * ce + _bce(out[..., 2], cf)
     else:
         x = font_renderer.features(params, codes, cfg, train=train, key=key)
         out = _head(x, params["place_w"], params["place_b"])
         logit = out[..., 1]
         pos_x = jnp.sum((out[..., 0] - mids[..., 0]) ** 2 * visf) / n_vis
-        lh = SheetSpec().line_height
         tgt = jnp.clip(
             jnp.round(mids[..., 1] / lh).astype(jnp.int32) - 1, 0, L - 1
         )
@@ -239,7 +396,4 @@ def loss_fn(
             jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0] * visf
         ) / n_vis
         pos = pos_x + 100.0 * ce
-    bce = jnp.mean(
-        jnp.maximum(logit, 0) - logit * visf + jnp.log1p(jnp.exp(-jnp.abs(logit)))
-    )
-    return pos + bce
+    return pos + _bce(logit, visf)

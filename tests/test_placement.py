@@ -248,3 +248,190 @@ def test_pixel_gradients_flow_through_composition():
     grads = jax.grad(pixel_loss)(params)
     gnorm = sum(float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads))
     assert gnorm > 0.0
+
+
+def _ascii_tables(table, kerned=False):
+    """ASCII-indexed [128] advance / [128,128] kern tables from an
+    AdvanceTable (what tools/train_placement.py builds for --structured)."""
+    adv128 = np.full(128, table.advances_px[0], np.float32)
+    for i, c in enumerate(table.charset):
+        adv128[ord(c)] = table.advances_px[i]
+    kern128 = np.zeros((128, 128), np.float32)
+    if kerned:
+        for a in table.charset:
+            for b in table.charset:
+                k = table.kern(a, b)
+                if k:
+                    kern128[ord(a), ord(b)] = k
+    return adv128, kern128
+
+
+def test_structured_head_shapes_and_contract():
+    """init(advances=...) carries the structured mode in the params
+    themselves (place_adv present; place_w has 3+L columns); invalid
+    combinations fail loudly."""
+    pcfg = ModelConfig(max_length=16, sheet_height=48, sheet_width=96)
+    adv = np.full(128, 7.0, np.float32)
+    params = placement.init(jax.random.PRNGKey(0), pcfg, lines=4, advances=adv)
+    assert placement.head_structured(params)
+    assert placement.head_lines(params) == 4
+    assert params["place_w"].shape == (pcfg.hidden_dim, 7)
+    assert params["place_kern"].shape == (128, 128)
+    assert not placement.head_structured(
+        placement.init(jax.random.PRNGKey(0), pcfg, lines=4)
+    )
+    with pytest.raises(ValueError):  # structured requires a line head
+        placement.init(jax.random.PRNGKey(0), pcfg, advances=adv)
+    with pytest.raises(ValueError):  # advances must be ASCII-indexed [128]
+        placement.init(
+            jax.random.PRNGKey(0), pcfg, lines=4, advances=np.ones(27)
+        )
+    # line_logits honors the structured column offset.
+    codes = jnp.asarray(encode_codes(["AB CD"], 16))
+    assert placement.line_logits(params, codes, pcfg).shape == (1, 16, 4)
+    # The structured loss refuses to run without structural targets.
+    mids = jnp.zeros((1, 16, 2))
+    vis = jnp.zeros((1, 16), bool)
+    with pytest.raises(ValueError):
+        placement.loss_fn(params, codes, mids, vis, pcfg, train=False)
+
+
+def test_structured_x_oracle_matches_engine():
+    """With oracle (saturated) line/contribution logits and zero residual,
+    structured_x reproduces the engine's pen walk exactly — including the
+    no-kern-across-breaks boundary and pair kerning."""
+
+    class FakeKern:  # minimal KerningTable stand-in: one negative pair
+        def get(self, a, b):
+            return -1.5 if (a, b) == ("A", "B") else 0.0
+
+        def __len__(self):
+            return 1
+
+    font = TrueTypeFont.load(FIRACODE_PATH)
+    spec = SheetSpec()
+    adv = np.array(
+        [
+            font.advance(font.glyph_id(ord(c))) * spec.font_size / font.units_per_em
+            for c in CHARSET
+        ]
+    )
+    table = AdvanceTable(CHARSET, adv, kerning=FakeKern())
+    strings = QUIRKY + ["ABAB ABAB", "AB " * 20]  # kern pairs + wraps
+    mids, vis, line_idx, contrib = placement.placement_targets(
+        strings, table, spec, full=True
+    )
+    assert contrib[vis].all()  # every visible slot contributes
+    # Visible slots sit exactly on their line's baseline.
+    lh = spec.line_height
+    got = mids[..., 1][vis]
+    want = (line_idx[vis] + 1) * lh
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    L = 8
+    n, S = len(strings), spec.max_chars
+    ll = np.full((n, S, L), -30.0, np.float32)
+    for i in range(n):
+        for s in range(S):
+            ll[i, s, min(line_idx[i, s], L - 1)] = 30.0
+    cl = np.where(contrib, 30.0, -30.0).astype(np.float32)
+    adv128, kern128 = _ascii_tables(table, kerned=True)
+    assert kern128[ord("A"), ord("B")] == -1.5
+    params = {
+        "place_adv": jnp.asarray(adv128),
+        "place_kern": jnp.asarray(kern128),
+    }
+    codes = jnp.asarray(encode_codes(strings, S))
+    x = np.asarray(
+        placement.structured_x(
+            params, codes, jnp.asarray(cl), jnp.asarray(ll), spec
+        )
+    )
+    err = np.abs(x - mids[..., 0])[vis]
+    assert err.max() < 1e-3, f"max oracle-decode x error {err.max()} px"
+
+
+def test_structured_head_learns():
+    """The structured head fits a tiny wrapping corpus: the derived x
+    lands within a pixel on every visible slot and line/contribution
+    decisions match the engine exactly."""
+    import optax
+
+    spec = SheetSpec(width=96, height=48, max_chars=16)
+    pcfg = ModelConfig(max_length=16, sheet_height=48, sheet_width=96)
+    font = TrueTypeFont.load(FIRACODE_PATH)
+    table = _table(font, spec)
+    strings = ["AB CD", "HELLO", "WRAP ME NOW", "XY", "Q Q Q", "NOSPACES"]
+    codes = jnp.asarray(encode_codes(strings, spec.max_chars))
+    mids, vis, line_idx, contrib = placement.placement_targets(
+        strings, table, spec, full=True
+    )
+    mids, vis = jnp.asarray(mids), jnp.asarray(vis)
+    lt, ct = jnp.asarray(line_idx), jnp.asarray(contrib)
+
+    L = 3
+    adv128, kern128 = _ascii_tables(table)
+    params = placement.init(
+        jax.random.PRNGKey(0), pcfg, lines=L, advances=adv128, kerning=kern128
+    )
+    opt = optax.adam(3e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(placement.loss_fn)(
+            params, codes, mids, vis, pcfg, train=False, line_tgt=lt, contrib_tgt=ct
+        )
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    first = None
+    for _ in range(600):
+        params, opt_state, loss = step(params, opt_state)
+        if first is None:
+            first = float(loss)
+    assert float(loss) < 0.1 * first
+
+    ll = placement.line_logits(params, codes, pcfg, train=False)
+    tgt = jnp.clip(lt, 0, L - 1)
+    line_acc = float(
+        jnp.sum((jnp.argmax(ll, -1) == tgt) * ct) / jnp.maximum(ct.sum(), 1)
+    )
+    assert line_acc == 1.0, f"line accuracy {line_acc}"
+
+    pred_xy, _ = placement.apply(params, codes, pcfg, train=False)
+    x_err = float(
+        jnp.max(jnp.where(vis, jnp.abs(pred_xy[..., 0] - mids[..., 0]), 0.0))
+    )
+    assert x_err < 1.5, f"worst derived-x error {x_err:.2f} px"
+
+
+def test_structured_npz_roundtrip_and_compose():
+    """A structured checkpoint is self-contained: the npz round-trips the
+    advance/kern tables, the loaded params keep their head mode, and the
+    fully neural render path composes from them unchanged."""
+    from ai_font_renderer_tpu.models import siren
+    from ai_font_renderer_tpu.render.implicit_sheet import render_learned_sheets
+    from ai_font_renderer_tpu.utils.checkpoint import load_params, save_params
+
+    pcfg = ModelConfig(max_length=16, sheet_height=48, sheet_width=96)
+    spec = SheetSpec(width=96, height=48, max_chars=16)
+    adv = np.full(128, 6.0, np.float32)
+    pp = placement.init(jax.random.PRNGKey(1), pcfg, lines=4, advances=adv)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "p.npz")
+        save_params(pp, path, mcfg=pcfg)
+        loaded = load_params(path)
+    assert placement.head_structured(loaded)
+    assert placement.head_lines(loaded) == 4
+    np.testing.assert_array_equal(np.asarray(loaded["place_adv"]), adv)
+
+    scfg = siren.SirenConfig(n_chars=len(CHARSET), cell=16, hidden_dim=16, n_layers=2)
+    sp = siren.init(jax.random.PRNGKey(0), scfg)
+    sheets = render_learned_sheets(
+        sp, loaded, ["AB", "HELLO X"], FIRACODE_PATH, scfg, pcfg, spec, charset=CHARSET
+    )
+    assert sheets.shape == (2, 48, 96)
+    assert sheets.min() >= 0.0 and sheets.max() <= 1.0

@@ -80,6 +80,15 @@ def main() -> None:
         "failure mode (worst-case ~1 sheet width) the long runs exposed",
     )
     ap.add_argument(
+        "--structured",
+        action="store_true",
+        help="use the structured head (requires --line-head L): x derived "
+        "from the predicted break structure via per-line prefix sums over "
+        "the checkpoint-carried advance/kern tables (models/placement.py "
+        "structured_x) plus a learned residual — targets the x component "
+        "of the wrap-outlier failure mode the line-head runs left open",
+    )
+    ap.add_argument(
         "--schedule",
         default="const",
         choices=["const", "cosine"],
@@ -112,10 +121,18 @@ def main() -> None:
     kerned = args.font == "montserrat"  # proportional pipeline kerns
     table = build_table(font_path, spec, charset, kerned)
 
+    if args.structured and args.line_head < 2:
+        ap.error("--structured requires --line-head L (L >= 2)")
+
     t0 = time.time()
     strings = generate_corpus(args.samples)
     codes_np = encode_codes(strings, spec.max_chars)
-    mids_np, vis_np = placement.placement_targets(strings, table, spec)
+    if args.structured:
+        mids_np, vis_np, line_np, contrib_np = placement.placement_targets(
+            strings, table, spec, full=True
+        )
+    else:
+        mids_np, vis_np = placement.placement_targets(strings, table, spec)
     print(f"targets built in {time.time() - t0:.1f} s", flush=True)
 
     n_val = args.samples // 5
@@ -125,8 +142,28 @@ def main() -> None:
     codes = jnp.asarray(codes_np)
     mids = jnp.asarray(mids_np)
     vis = jnp.asarray(vis_np)
-
-    params = placement.init(jax.random.PRNGKey(0), pcfg, lines=args.line_head)
+    if args.structured:
+        line_t = jnp.asarray(line_np)
+        contrib_t = jnp.asarray(contrib_np)
+        adv128 = np.full(128, table.advances_px[0], np.float32)
+        for i, c in enumerate(charset):
+            adv128[ord(c)] = table.advances_px[i]
+        kern128 = np.zeros((128, 128), np.float32)
+        if kerned:
+            for a in charset:
+                for b in charset:
+                    k = table.kern(a, b)
+                    if k:
+                        kern128[ord(a), ord(b)] = k
+        params = placement.init(
+            jax.random.PRNGKey(0),
+            pcfg,
+            lines=args.line_head,
+            advances=adv128,
+            kerning=kern128,
+        )
+    else:
+        params = placement.init(jax.random.PRNGKey(0), pcfg, lines=args.line_head)
     total_steps = max(args.epochs * (len(tr) // args.batch), 1)
     if args.schedule == "cosine":
         lr = optax.warmup_cosine_decay_schedule(
@@ -138,9 +175,11 @@ def main() -> None:
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, c, m, v, key):
+    def step(params, opt_state, c, m, v, lt, ct, key):
+        # lt/ct are None (empty pytrees under jit) for the non-structured
+        # heads; loss_fn dispatches on the params' own head mode.
         loss, grads = jax.value_and_grad(placement.loss_fn)(
-            params, c, m, v, pcfg, key=key, train=True
+            params, c, m, v, pcfg, key=key, train=True, line_tgt=lt, contrib_tgt=ct
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
@@ -176,8 +215,10 @@ def main() -> None:
         for s in range(steps_per_epoch):
             idx = jnp.asarray(order[s * bsz : (s + 1) * bsz])
             key, sub = jax.random.split(key)
+            lt = line_t[idx] if args.structured else None
+            ct = contrib_t[idx] if args.structured else None
             params, opt_state, loss = step(
-                params, opt_state, codes[idx], mids[idx], vis[idx], sub
+                params, opt_state, codes[idx], mids[idx], vis[idx], lt, ct, sub
             )
             loss_sum += float(loss)
         vi = jnp.asarray(va[: 4096])
