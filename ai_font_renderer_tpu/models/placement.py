@@ -135,6 +135,7 @@ def structured_x(
     contrib_logit: jax.Array,
     line_log: jax.Array,
     spec: SheetSpec = SheetSpec(),
+    detach: bool = False,
 ) -> jax.Array:
     """Derive per-slot glyph-midpoint x from the predicted break structure.
 
@@ -152,10 +153,22 @@ def structured_x(
     line the engine's chars are consecutive original slots, and a line's
     first char has no intra-line predecessor — matching same(j-1, j) -> 0
     across a break. O(S^2) on S=100 slots: negligible.
+
+    ``detach=True`` stops gradients at the structure probabilities (line
+    softmax and contribution sigmoid): the x MSE then trains only the
+    residual and the advance/kern tables, while the logits train purely
+    from their CE/BCE supervision. Motivation (RESULTS.md structured-head
+    runs): with coupled gradients the x MSE prefers HEDGED line
+    distributions (soft probabilities interpolate x across the break),
+    dragging line accuracy down (0.966 -> 0.840 on Montserrat) and the
+    end-to-end render with it.
     """
     adv = params["place_adv"][codes]  # [B, S]
     kern = params["place_kern"][codes[:, :-1], codes[:, 1:]]  # [B, S-1]
     kern = jnp.pad(kern, ((0, 0), (1, 0)))  # slot 0 has no predecessor
+    if detach:
+        contrib_logit = jax.lax.stop_gradient(contrib_logit)
+        line_log = jax.lax.stop_gradient(line_log)
     p_line = jax.nn.softmax(line_log, axis=-1)  # [B, S, L]
     same = jnp.einsum("bil,bjl->bij", p_line, p_line)  # [B, S, S]
     c = jax.nn.sigmoid(contrib_logit)  # [B, S]
@@ -341,6 +354,7 @@ def loss_fn(
     train: bool = True,
     line_tgt: jax.Array | None = None,
     contrib_tgt: jax.Array | None = None,
+    detach_structure: bool = False,
 ) -> jax.Array:
     """Masked position loss (visible slots) + visibility BCE.
 
@@ -373,7 +387,10 @@ def loss_fn(
         out = _head(x, params["place_w"], params["place_b"])
         logit = out[..., 1]
         llog = out[..., 3:]
-        px = structured_x(params, codes, out[..., 2], llog) + out[..., 0]
+        px = (
+            structured_x(params, codes, out[..., 2], llog, detach=detach_structure)
+            + out[..., 0]
+        )
         pos_x = jnp.sum((px - mids[..., 0]) ** 2 * visf) / n_vis
         cf = contrib_tgt.astype(jnp.float32)
         n_con = jnp.maximum(jnp.sum(cf), 1.0)

@@ -435,3 +435,40 @@ def test_structured_npz_roundtrip_and_compose():
     )
     assert sheets.shape == (2, 48, 96)
     assert sheets.min() >= 0.0 and sheets.max() <= 1.0
+
+
+def test_structured_detach_blocks_structure_gradients():
+    """detach=True: structured_x values are identical but gradients stop
+    at the structure logits (line/contribution) — the x MSE can no longer
+    hedge the line distributions; adv/kern/residual still train."""
+    adv = np.full(128, 6.0, np.float32)
+    params = {
+        "place_adv": jnp.asarray(adv),
+        "place_kern": jnp.zeros((128, 128)),
+    }
+    codes = jnp.asarray(encode_codes(["AB CD"], 16))
+    key = jax.random.PRNGKey(0)
+    ll = jax.random.normal(key, (1, 16, 3))
+    cl = jax.random.normal(jax.random.PRNGKey(1), (1, 16))
+
+    x_soft = placement.structured_x(params, codes, cl, ll)
+    x_det = placement.structured_x(params, codes, cl, ll, detach=True)
+    np.testing.assert_allclose(np.asarray(x_soft), np.asarray(x_det), rtol=1e-6)
+
+    def total(logits, detach):
+        return jnp.sum(placement.structured_x(params, codes, cl, logits, detach=detach))
+
+    g_soft = jax.grad(total)(ll, False)
+    g_det = jax.grad(total)(ll, True)
+    assert float(jnp.abs(g_soft).sum()) > 0.0
+    assert float(jnp.abs(g_det).sum()) == 0.0
+    # The advance table still receives x gradients under detach.
+    g_adv = jax.grad(
+        lambda a: jnp.sum(
+            placement.structured_x(
+                {"place_adv": a, "place_kern": params["place_kern"]},
+                codes, cl, ll, detach=True,
+            )
+        )
+    )(params["place_adv"])
+    assert float(jnp.abs(g_adv).sum()) > 0.0

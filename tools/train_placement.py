@@ -89,6 +89,15 @@ def main() -> None:
         "of the wrap-outlier failure mode the line-head runs left open",
     )
     ap.add_argument(
+        "--detach-structure",
+        action="store_true",
+        help="stop-gradient the structure probabilities inside "
+        "structured_x during training: x MSE trains only the residual "
+        "and advance/kern tables; line/contribution logits train purely "
+        "from CE/BCE (counters the measured hedging failure — coupled x "
+        "gradients soften the line distributions, RESULTS.md)",
+    )
+    ap.add_argument(
         "--schedule",
         default="const",
         choices=["const", "cosine"],
@@ -179,7 +188,8 @@ def main() -> None:
         # lt/ct are None (empty pytrees under jit) for the non-structured
         # heads; loss_fn dispatches on the params' own head mode.
         loss, grads = jax.value_and_grad(placement.loss_fn)(
-            params, c, m, v, pcfg, key=key, train=True, line_tgt=lt, contrib_tgt=ct
+            params, c, m, v, pcfg, key=key, train=True, line_tgt=lt,
+            contrib_tgt=ct, detach_structure=args.detach_structure,
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
