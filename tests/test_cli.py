@@ -288,6 +288,29 @@ def test_render_implicit_and_learned_placement(tmp_path):
     assert rc == 0
     assert read_bmp(os.path.join(out3, "string_0.bmp")).shape == (80, 240)
 
+    # Structured-head checkpoint: the npz carries its own advance/kern
+    # tables; the CLI path must auto-detect the head mode (shape/params
+    # carried) with no extra flags.
+    import numpy as np
+
+    net_s = str(tmp_path / "place_struct.npz")
+    save_params(
+        placement.init(
+            jax.random.PRNGKey(2),
+            pcfg,
+            lines=5,
+            advances=np.full(128, 7.0, np.float32),
+        ),
+        net_s,
+        mcfg=pcfg,
+    )
+    out4 = str(tmp_path / "r4")
+    rc = cli.main(
+        ["render", "HI", "--implicit", bank, "--placement", net_s, "--out", out4]
+    )
+    assert rc == 0
+    assert read_bmp(os.path.join(out4, "string_0.bmp")).shape == (80, 240)
+
     assert cli.main(["render", "HI", "--implicit", "/nonexistent.npz"]) == 1
 
 
