@@ -300,6 +300,7 @@ def cmd_render(args) -> int:
             sheets = render_learned_sheets(
                 sp, pp, strings, args.font, scfg, pcfg,
                 scale=args.scale, charset=charset,
+                hard=getattr(args, "hard_placement", False),
             )
         else:
             sheets = render_implicit_sheets(
@@ -423,6 +424,14 @@ def main(argv: list[str] | None = None) -> int:
             help="with --implicit: take glyph positions from a learned "
             "placement transformer (models/placement.py) instead of the "
             "layout engine — the fully neural chars->pixels path",
+        )
+        p_ren.add_argument(
+            "--hard-placement",
+            action="store_true",
+            help="with --placement: discrete placement decode (argmax "
+            "line, thresholded contribution) instead of the soft "
+            "expectation — the eval-time pen walk of the predicted "
+            "break structure",
         )
         p_ren.add_argument(
             "--scale",

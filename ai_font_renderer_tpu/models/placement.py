@@ -136,6 +136,7 @@ def structured_x(
     line_log: jax.Array,
     spec: SheetSpec = SheetSpec(),
     detach: bool = False,
+    hard: bool = False,
 ) -> jax.Array:
     """Derive per-slot glyph-midpoint x from the predicted break structure.
 
@@ -162,6 +163,12 @@ def structured_x(
     distributions (soft probabilities interpolate x across the break),
     dragging line accuracy down (0.966 -> 0.840 on Montserrat) and the
     end-to-end render with it.
+
+    ``hard=True`` decodes the structure discretely (argmax line, >0.5
+    contribution) instead of softly — the exact pen walk of the
+    *predicted* break structure, for eval/serving: residual hedging in
+    near-peaked probabilities no longer leaks fractional advances into
+    x. Non-differentiable; training always uses the soft decode.
     """
     adv = params["place_adv"][codes]  # [B, S]
     kern = params["place_kern"][codes[:, :-1], codes[:, 1:]]  # [B, S-1]
@@ -169,9 +176,15 @@ def structured_x(
     if detach:
         contrib_logit = jax.lax.stop_gradient(contrib_logit)
         line_log = jax.lax.stop_gradient(line_log)
-    p_line = jax.nn.softmax(line_log, axis=-1)  # [B, S, L]
+    if hard:
+        p_line = jax.nn.one_hot(
+            jnp.argmax(line_log, axis=-1), line_log.shape[-1]
+        )  # [B, S, L]
+        c = (contrib_logit > 0).astype(jnp.float32)  # [B, S]
+    else:
+        p_line = jax.nn.softmax(line_log, axis=-1)  # [B, S, L]
+        c = jax.nn.sigmoid(contrib_logit)  # [B, S]
     same = jnp.einsum("bil,bjl->bij", p_line, p_line)  # [B, S, S]
-    c = jax.nn.sigmoid(contrib_logit)  # [B, S]
     c_prev = jnp.pad(c[:, :-1], ((0, 0), (1, 0)))
     same_prev = jnp.pad(
         jnp.einsum("bjl,bjl->bj", p_line[:, :-1], p_line[:, 1:]),
@@ -198,6 +211,7 @@ def apply(
     *,
     train: bool = False,
     key: jax.Array | None = None,
+    hard: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """codes [B, S] -> (midpoints [B, S, 2] sheet px, visibility logits [B, S]).
 
@@ -211,6 +225,12 @@ def apply(
     equal to the argmax decode once the logits peak. With the structured
     head, x is additionally derived from the predicted break structure
     (:func:`structured_x`) plus the learned residual.
+
+    ``hard=True`` (line-aware heads; eval/serving only — it is not
+    differentiable): y snaps to the argmax line's baseline and the
+    structured head's x decodes the argmax/thresholded break structure
+    (:func:`structured_x` ``hard``), eliminating the fractional-baseline
+    smear of a hedged line distribution. No-op for the regression head.
     """
     x = font_renderer.features(params, codes, cfg, train=train, key=key)
     out = _head(x, params["place_w"], params["place_b"])  # [B,S,3|2+L|3+L]
@@ -220,10 +240,16 @@ def apply(
     baselines = (jnp.arange(L, dtype=jnp.float32) + 1.0) * SheetSpec().line_height
     if head_structured(params):
         xr, vlogit, llog = out[..., 0], out[..., 1], out[..., 3:]
-        y = jax.nn.softmax(llog, axis=-1) @ baselines
-        px = structured_x(params, codes, out[..., 2], llog) + xr
+        if hard:
+            y = baselines[jnp.argmax(llog, axis=-1)]
+        else:
+            y = jax.nn.softmax(llog, axis=-1) @ baselines
+        px = structured_x(params, codes, out[..., 2], llog, hard=hard) + xr
         return jnp.stack([px, y], axis=-1), vlogit
-    y = jax.nn.softmax(out[..., 2:], axis=-1) @ baselines
+    if hard:
+        y = baselines[jnp.argmax(out[..., 2:], axis=-1)]
+    else:
+        y = jax.nn.softmax(out[..., 2:], axis=-1) @ baselines
     return jnp.stack([out[..., 0], y], axis=-1), out[..., 1]
 
 

@@ -150,6 +150,7 @@ def render_learned_sheets(
     spec: SheetSpec = SheetSpec(),
     scale: float = 1.0,
     charset: str = PRINTABLE_ASCII,
+    hard: bool = False,
 ) -> np.ndarray:
     """Fully neural strings -> sheets: NO layout engine in the loop.
 
@@ -157,7 +158,8 @@ def render_learned_sheets(
     advance-midpoint/baseline and visibility from the raw char codes; the
     SIREN bank paints the glyphs at the predicted positions. The font file
     is used only to build the static cell geometry (scale factors), never
-    to lay out the text.
+    to lay out the text. ``hard=True`` uses the discrete placement decode
+    (argmax line / thresholded contribution; placement.apply ``hard``).
     """
     from ..config import ModelConfig
     from ..fontgen.layout import encode_codes
@@ -168,7 +170,9 @@ def render_learned_sheets(
     font = TrueTypeFont.load(font_path)
     lay = build_layout(font, spec, cfg.cell, scale=scale, max_glyphs=pcfg.max_length)
     codes = jnp.asarray(encode_codes(strings, pcfg.max_length))
-    mids, logits = placement.apply(placement_params, codes, pcfg, train=False)
+    mids, logits = placement.apply(
+        placement_params, codes, pcfg, train=False, hard=hard
+    )
     origins = origins_from_midpoints(mids, lay)
 
     idx = {c: i for i, c in enumerate(charset)}

@@ -311,6 +311,15 @@ def test_render_implicit_and_learned_placement(tmp_path):
     assert rc == 0
     assert read_bmp(os.path.join(out4, "string_0.bmp")).shape == (80, 240)
 
+    # Discrete eval decode from the product surface.
+    out5 = str(tmp_path / "r5")
+    rc = cli.main(
+        ["render", "HI", "--implicit", bank, "--placement", net_s,
+         "--hard-placement", "--out", out5]
+    )
+    assert rc == 0
+    assert read_bmp(os.path.join(out5, "string_0.bmp")).shape == (80, 240)
+
     assert cli.main(["render", "HI", "--implicit", "/nonexistent.npz"]) == 1
 
 

@@ -349,6 +349,79 @@ def test_structured_x_oracle_matches_engine():
     )
     err = np.abs(x - mids[..., 0])[vis]
     assert err.max() < 1e-3, f"max oracle-decode x error {err.max()} px"
+    # The discrete decode agrees at saturated logits (argmax == softmax).
+    x_hard = np.asarray(
+        placement.structured_x(
+            params, codes, jnp.asarray(cl), jnp.asarray(ll), spec, hard=True
+        )
+    )
+    np.testing.assert_allclose(x_hard, x, atol=1e-3)
+
+
+def test_hard_decode_snaps_hedged_structure():
+    """hard=True is the pen walk of the DISCRETE predicted structure: a
+    hedged 50/50 line distribution leaks half an advance into the soft x
+    (the measured failure mode of the coupled structured runs), while the
+    hard decode commits to the argmax line; a sub-threshold contribution
+    is dropped entirely instead of fractionally."""
+    spec = SheetSpec()
+    P = float(spec.padding)
+    adv = np.zeros(128, np.float32)
+    adv[ord("A")], adv[ord("B")] = 10.0, 12.0
+    params = {
+        "place_adv": jnp.asarray(adv),
+        "place_kern": jnp.zeros((128, 128), jnp.float32),
+    }
+    codes = jnp.asarray(encode_codes(["AB"], 2))
+    ll = jnp.zeros((1, 2, 2))  # 50/50 over two lines; argmax -> line 0
+    cl = jnp.full((1, 2), 30.0)
+    x_soft = np.asarray(placement.structured_x(params, codes, cl, ll, spec))
+    x_hard = np.asarray(
+        placement.structured_x(params, codes, cl, ll, spec, hard=True)
+    )
+    # Slot 1 (B): soft same-line(A,B) = 0.5 -> half of A's advance leaks.
+    np.testing.assert_allclose(x_soft[0], [P + 5.0, P + 0.5 * 10 + 6.0], atol=1e-4)
+    np.testing.assert_allclose(x_hard[0], [P + 5.0, P + 10.0 + 6.0], atol=1e-4)
+    # A sub-threshold contribution (sigmoid ~0.27): soft leaks 0.27*adv,
+    # hard contributes nothing.
+    cl_weak = jnp.asarray([[-1.0, 30.0]])
+    x_soft_w = np.asarray(placement.structured_x(params, codes, cl_weak, ll, spec))
+    x_hard_w = np.asarray(
+        placement.structured_x(params, codes, cl_weak, ll, spec, hard=True)
+    )
+    assert P + 6.0 < x_soft_w[0, 1] < P + 11.0
+    np.testing.assert_allclose(x_hard_w[0, 1], P + 6.0, atol=1e-4)
+
+
+def test_apply_hard_snaps_y_to_legal_baselines():
+    """apply(hard=True) lands every y exactly on some (l+1)*line_height
+    for both line-aware heads, and agrees with the soft decode once the
+    logits saturate."""
+    pcfg = ModelConfig(max_length=16, sheet_height=48, sheet_width=96)
+    codes = jnp.asarray(encode_codes(["AB CD"], 16))
+    lh = SheetSpec().line_height
+    legal = (np.arange(3) + 1.0) * lh
+    adv = np.zeros(128, np.float32)
+    adv[ord("A") : ord("Z") + 1] = 8.0
+    for params in (
+        placement.init(jax.random.PRNGKey(0), pcfg, lines=3),
+        placement.init(jax.random.PRNGKey(0), pcfg, lines=3, advances=adv),
+    ):
+        xy_hard, logit = placement.apply(
+            params, codes, pcfg, train=False, hard=True
+        )
+        y = np.asarray(xy_hard[0, :, 1])
+        dist = np.abs(y[:, None] - legal[None, :]).min(axis=1)
+        assert dist.max() < 1e-4, f"hard y off-baseline by {dist.max()} px"
+        assert logit.shape == (1, 16)
+    # Saturated logits: hard == soft (line head; bias drives line 2).
+    params = placement.init(jax.random.PRNGKey(1), pcfg, lines=3)
+    params["place_b"] = params["place_b"].at[4].set(50.0)
+    xy_soft, _ = placement.apply(params, codes, pcfg, train=False)
+    xy_hard, _ = placement.apply(params, codes, pcfg, train=False, hard=True)
+    np.testing.assert_allclose(
+        np.asarray(xy_hard), np.asarray(xy_soft), atol=1e-3
+    )
 
 
 def test_structured_head_learns():
