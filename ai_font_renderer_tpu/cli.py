@@ -301,6 +301,7 @@ def cmd_render(args) -> int:
                 sp, pp, strings, args.font, scfg, pcfg,
                 scale=args.scale, charset=charset,
                 hard=getattr(args, "hard_placement", False),
+                monotone=getattr(args, "monotone_placement", False),
             )
         else:
             sheets = render_implicit_sheets(
@@ -432,6 +433,13 @@ def main(argv: list[str] | None = None) -> int:
             "line, thresholded contribution) instead of the soft "
             "expectation — the eval-time pen walk of the predicted "
             "break structure",
+        )
+        p_ren.add_argument(
+            "--monotone-placement",
+            action="store_true",
+            help="with --placement: discrete decode with the line "
+            "indices jointly Viterbi-decoded under the engine's "
+            "monotone-break constraint (implies --hard-placement)",
         )
         p_ren.add_argument(
             "--scale",

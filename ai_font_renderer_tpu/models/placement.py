@@ -204,6 +204,53 @@ def structured_x(
     return x
 
 
+def monotone_lines(
+    line_log: jax.Array, weight: jax.Array | None = None
+) -> jax.Array:
+    """Viterbi decode of per-slot line indices under the engine's
+    structural constraint.
+
+    The layout engine's line index, read in original slot order, is
+    non-decreasing and advances by at most one per slot (every line holds
+    at least one character, and a break bumps the pen exactly one line).
+    Independent per-slot argmax ignores this — a single flipped slot
+    displaces one glyph by a full line-height (the pinned worst-case in
+    RESULTS.md). This decode maximizes sum_s w_s * log p(l_s | slot s)
+    over all monotone paths (steps in {0, 1}, starting on line 0) with an
+    O(S*L) dynamic program, so an isolated low-margin flip is repaired by
+    the confident slots around it.
+
+    ``weight`` [B, S] (optional) down-weights slots whose line prediction
+    is unsupervised noise — padding past the string and consumed break
+    separators train with no line CE (contribution mask), so their
+    logits must not drag the path; pass the contribution (structured
+    head) or visibility (line head) probability. Returns [B, S] int32.
+    """
+    logp = jax.nn.log_softmax(line_log, axis=-1)  # [B, S, L]
+    if weight is not None:
+        logp = logp * weight[..., None]
+    B, S, L = logp.shape
+    lps = jnp.moveaxis(logp, 1, 0)  # [S, B, L]
+    start = jnp.where(jnp.arange(L) == 0, 0.0, -jnp.inf)  # line 0 first
+
+    def fwd(prev, lp):  # prev [B, L]: best monotone score ending at l
+        up = jnp.pad(
+            prev[:, :-1], ((0, 0), (1, 0)), constant_values=-jnp.inf
+        )
+        came_up = up > prev  # ties prefer staying (the lower line)
+        return lp + jnp.maximum(prev, up), came_up
+
+    dp, came_up = jax.lax.scan(fwd, lps[0] + start[None, :], lps[1:])
+    last = jnp.argmax(dp, axis=-1).astype(jnp.int32)  # [B]
+    rows = jnp.arange(B)
+
+    def back(nxt, ch):  # nxt [B]: line at slot s+1 -> line at slot s
+        return nxt - ch[rows, nxt].astype(jnp.int32), nxt
+
+    first, rest = jax.lax.scan(back, last, came_up, reverse=True)
+    return jnp.concatenate([first[:, None], jnp.moveaxis(rest, 0, 1)], axis=1)
+
+
 def apply(
     params: dict,
     codes: jax.Array,
@@ -212,6 +259,7 @@ def apply(
     train: bool = False,
     key: jax.Array | None = None,
     hard: bool = False,
+    monotone: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """codes [B, S] -> (midpoints [B, S, 2] sheet px, visibility logits [B, S]).
 
@@ -230,26 +278,38 @@ def apply(
     differentiable): y snaps to the argmax line's baseline and the
     structured head's x decodes the argmax/thresholded break structure
     (:func:`structured_x` ``hard``), eliminating the fractional-baseline
-    smear of a hedged line distribution. No-op for the regression head.
+    smear of a hedged line distribution. ``monotone=True`` (implies
+    hard) additionally decodes the line indices jointly under the
+    engine's monotone-break constraint (:func:`monotone_lines`, weighted
+    by the contribution resp. visibility probability) instead of
+    per-slot argmax. Both are no-ops for the regression head.
     """
     x = font_renderer.features(params, codes, cfg, train=train, key=key)
     out = _head(x, params["place_w"], params["place_b"])  # [B,S,3|2+L|3+L]
     L = head_lines(params)
     if L == 0:
         return out[..., :2], out[..., 2]
+    hard = hard or monotone
     baselines = (jnp.arange(L, dtype=jnp.float32) + 1.0) * SheetSpec().line_height
     if head_structured(params):
         xr, vlogit, llog = out[..., 0], out[..., 1], out[..., 3:]
+        if monotone:
+            lines = monotone_lines(llog, jax.nn.sigmoid(out[..., 2]))
+            llog = jax.nn.one_hot(lines, L) * 1e4
         if hard:
             y = baselines[jnp.argmax(llog, axis=-1)]
         else:
             y = jax.nn.softmax(llog, axis=-1) @ baselines
         px = structured_x(params, codes, out[..., 2], llog, hard=hard) + xr
         return jnp.stack([px, y], axis=-1), vlogit
+    llog = out[..., 2:]
+    if monotone:
+        lines = monotone_lines(llog, jax.nn.sigmoid(out[..., 1]))
+        llog = jax.nn.one_hot(lines, L) * 1e4
     if hard:
-        y = baselines[jnp.argmax(out[..., 2:], axis=-1)]
+        y = baselines[jnp.argmax(llog, axis=-1)]
     else:
-        y = jax.nn.softmax(out[..., 2:], axis=-1) @ baselines
+        y = jax.nn.softmax(llog, axis=-1) @ baselines
     return jnp.stack([out[..., 0], y], axis=-1), out[..., 1]
 
 

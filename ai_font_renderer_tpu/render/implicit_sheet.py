@@ -151,6 +151,7 @@ def render_learned_sheets(
     scale: float = 1.0,
     charset: str = PRINTABLE_ASCII,
     hard: bool = False,
+    monotone: bool = False,
 ) -> np.ndarray:
     """Fully neural strings -> sheets: NO layout engine in the loop.
 
@@ -159,7 +160,9 @@ def render_learned_sheets(
     SIREN bank paints the glyphs at the predicted positions. The font file
     is used only to build the static cell geometry (scale factors), never
     to lay out the text. ``hard=True`` uses the discrete placement decode
-    (argmax line / thresholded contribution; placement.apply ``hard``).
+    (argmax line / thresholded contribution; placement.apply ``hard``);
+    ``monotone=True`` additionally constrains the decoded break structure
+    to the engine's monotone-line invariant (placement.monotone_lines).
     """
     from ..config import ModelConfig
     from ..fontgen.layout import encode_codes
@@ -171,7 +174,7 @@ def render_learned_sheets(
     lay = build_layout(font, spec, cfg.cell, scale=scale, max_glyphs=pcfg.max_length)
     codes = jnp.asarray(encode_codes(strings, pcfg.max_length))
     mids, logits = placement.apply(
-        placement_params, codes, pcfg, train=False, hard=hard
+        placement_params, codes, pcfg, train=False, hard=hard, monotone=monotone
     )
     origins = origins_from_midpoints(mids, lay)
 

@@ -311,7 +311,7 @@ def test_render_implicit_and_learned_placement(tmp_path):
     assert rc == 0
     assert read_bmp(os.path.join(out4, "string_0.bmp")).shape == (80, 240)
 
-    # Discrete eval decode from the product surface.
+    # Discrete eval decodes from the product surface.
     out5 = str(tmp_path / "r5")
     rc = cli.main(
         ["render", "HI", "--implicit", bank, "--placement", net_s,
@@ -319,6 +319,13 @@ def test_render_implicit_and_learned_placement(tmp_path):
     )
     assert rc == 0
     assert read_bmp(os.path.join(out5, "string_0.bmp")).shape == (80, 240)
+    out6 = str(tmp_path / "r6")
+    rc = cli.main(
+        ["render", "HI", "--implicit", bank, "--placement", net_s,
+         "--monotone-placement", "--out", out6]
+    )
+    assert rc == 0
+    assert read_bmp(os.path.join(out6, "string_0.bmp")).shape == (80, 240)
 
     assert cli.main(["render", "HI", "--implicit", "/nonexistent.npz"]) == 1
 

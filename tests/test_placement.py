@@ -424,6 +424,63 @@ def test_apply_hard_snaps_y_to_legal_baselines():
     )
 
 
+def test_monotone_lines_viterbi():
+    """The constrained decode repairs an isolated low-margin flip that
+    per-slot argmax leaves in (the pinned worst-case failure), matches
+    argmax when argmax is already monotone, and ignores zero-weight
+    slots."""
+    big = 10.0
+    ll = np.full((1, 5, 3), -big, np.float32)
+    for s, l in enumerate([0, 1, 0, 1, 2]):  # slot 2 flips back to 0
+        ll[0, s, l] = big
+    ll[0, 2] = [1.2, 1.0, -big]  # ...but only by a 0.2 margin
+    got = np.asarray(placement.monotone_lines(jnp.asarray(ll)))
+    np.testing.assert_array_equal(got[0], [0, 1, 1, 1, 2])
+
+    mono = np.full((1, 5, 3), -big, np.float32)
+    for s, l in enumerate([0, 0, 1, 2, 2]):
+        mono[0, s, l] = big
+    got = np.asarray(placement.monotone_lines(jnp.asarray(mono)))
+    np.testing.assert_array_equal(got[0], [0, 0, 1, 2, 2])
+
+    # A confidently-wrong slot with weight 0 (e.g. padding) cannot drag
+    # the path; with weight 1 it would force every earlier slot down.
+    noisy = mono.copy()
+    noisy[0, 1] = [-big, -big, big]  # "line 2" at slot 1
+    w = jnp.asarray([[1.0, 0.0, 1.0, 1.0, 1.0]])
+    got = np.asarray(placement.monotone_lines(jnp.asarray(noisy), w))
+    np.testing.assert_array_equal(got[0, [0, 2, 3, 4]], [0, 1, 2, 2])
+    # (slot 1 itself may sit on line 0 or 1 — all such paths tie at
+    # weight 0, and the start-at-0/step<=1 constraint forbids line 2.)
+
+    # The path starts on line 0 regardless of slot 0's preference.
+    start = mono.copy()
+    start[0, 0] = [-1.0, 1.0, -big]
+    got = np.asarray(placement.monotone_lines(jnp.asarray(start)))
+    assert got[0, 0] == 0
+
+
+def test_apply_monotone_decode():
+    """apply(monotone=True): y is a legal baseline at every slot AND
+    non-decreasing across slots (the engine's structural invariant),
+    for both line-aware heads on a fresh net."""
+    pcfg = ModelConfig(max_length=16, sheet_height=48, sheet_width=96)
+    codes = jnp.asarray(encode_codes(["AB CD EF GH"], 16))
+    lh = SheetSpec().line_height
+    legal = (np.arange(3) + 1.0) * lh
+    adv = np.zeros(128, np.float32)
+    adv[ord("A") : ord("Z") + 1] = 8.0
+    for params in (
+        placement.init(jax.random.PRNGKey(3), pcfg, lines=3),
+        placement.init(jax.random.PRNGKey(3), pcfg, lines=3, advances=adv),
+    ):
+        xy, _ = placement.apply(params, codes, pcfg, train=False, monotone=True)
+        y = np.asarray(xy[0, :, 1])
+        dist = np.abs(y[:, None] - legal[None, :]).min(axis=1)
+        assert dist.max() < 1e-3
+        assert (np.diff(y) >= -1e-3).all(), f"y not monotone: {y}"
+
+
 def test_structured_head_learns():
     """The structured head fits a tiny wrapping corpus: the derived x
     lands within a pixel on every visible slot and line/contribution

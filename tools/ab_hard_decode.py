@@ -74,10 +74,14 @@ def main() -> None:
                 continue
             pp, pcfg = load_params_with_config(path)
             rec = {"run": run_dir, "checkpoint": name, "font": font}
-            for mode, hard in (("soft", False), ("hard", True)):
+            for mode, kw in (
+                ("soft", {}),
+                ("hard", {"hard": True}),
+                ("mono", {"monotone": True}),
+            ):
                 sheets = render_learned_sheets(
                     sp, pp, TEST_STRINGS, font_path, scfg, pcfg, spec,
-                    charset=charset, hard=hard,
+                    charset=charset, **kw,
                 )
                 rec[f"e2e_render_mse_{mode}"] = float(
                     np.mean((sheets - gt) ** 2)
