@@ -347,12 +347,16 @@ def cmd_serve(args) -> int:
         import dataclasses
 
         mcfg = dataclasses.replace(mcfg, bf16_frontend=True)
+    token = getattr(args, "auth_token", None) or os.environ.get(
+        "AFR_AUTH_TOKEN"
+    )
     server = RenderServer(
         params,
         mcfg,
         socket_path=args.socket,
         batch_size=args.batch_size,
         int8=getattr(args, "int8", False),
+        auth_token=token,
     )
     server.start()
     print(f"Render server listening on {args.socket} (batch {args.batch_size})")
@@ -468,6 +472,13 @@ def main(argv: list[str] | None = None) -> int:
             help="bf16 frontend for serving. Measured NEGATIVE on v5e "
             "eval (tools/ab_serving_tiers.py) — --int8 alone is the fast "
             "tier; kept for A/B reproducibility",
+        )
+        p_srv.add_argument(
+            "--auth-token",
+            default=None,
+            help="require this shared token on every request "
+            "(constant-time compare; $AFR_AUTH_TOKEN also works and "
+            "keeps the secret out of argv)",
         )
         args = parser.parse_args(argv)
         return {

@@ -10,16 +10,26 @@ dynamic batching. Double buffering falls out of the architecture: the
 dispatcher encodes/pads batch N+1 on the host while batch N runs on device.
 
 Protocol (length-prefixed, stdlib-only):
-  request : uint32 BE length + UTF-8 JSON {"strings": [...], "format": "raw"|"bmp"}
+  request : uint32 BE length + UTF-8 JSON {"strings": [...], "format":
+            "raw"|"bmp", "auth": TOKEN (required iff the server has one)}
   response: uint32 BE length + JSON header {"count", "height", "width",
             "format"} then, per string: raw uint8 H*W bytes (format=raw) or
-            uint32 BE length + BMP file bytes (format=bmp).
+            uint32 BE length + BMP file bytes (format=bmp). An
+            unauthorized request gets {"error": "unauthorized"} and the
+            connection closes.
+
+Auth: a unix socket is already gated by filesystem permissions; the
+optional shared token (``afr serve --auth-token`` / ``$AFR_AUTH_TOKEN``)
+adds an application-level check (constant-time compare) for sockets
+shared across trust domains. TLS is deliberately out of scope until the
+server speaks TCP (ROADMAP).
 
 Run: `afr serve --weights font_renderer.npz --socket /tmp/afr.sock`
 """
 
 from __future__ import annotations
 
+import hmac
 import json
 import os
 import queue
@@ -203,10 +213,12 @@ class RenderServer:
         socket_path: str = "/tmp/afr.sock",
         batch_size: int = 64,
         int8: bool = False,
+        auth_token: str | None = None,
     ):
         self.socket_path = socket_path
         self.batcher = _Batcher(params, mcfg, batch_size, int8=int8)
         self.mcfg = mcfg
+        self.auth_token = auth_token
         self._server: socketserver.ThreadingUnixStreamServer | None = None
 
     def start(self):
@@ -214,6 +226,7 @@ class RenderServer:
             os.unlink(self.socket_path)
         self.batcher.start()
         batcher, mcfg = self.batcher, self.mcfg
+        token = self.auth_token
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
@@ -226,6 +239,14 @@ class RenderServer:
                     if raw is None:
                         return
                     req = json.loads(raw)
+                    if token is not None and not hmac.compare_digest(
+                        str(req.get("auth", "")), token
+                    ):
+                        _send_msg(
+                            self.request,
+                            json.dumps({"error": "unauthorized"}).encode(),
+                        )
+                        return
                     strings = [str(s) for s in req.get("strings", [])]
                     fmt = req.get("format", "raw")
                     done = threading.Event()
@@ -279,13 +300,24 @@ class RenderServer:
 
 
 def request_render(
-    socket_path: str, strings: list[str], fmt: str = "raw"
+    socket_path: str,
+    strings: list[str],
+    fmt: str = "raw",
+    auth_token: str | None = None,
 ):
-    """Client helper: returns (header dict, [payload bytes per string])."""
+    """Client helper: returns (header dict, [payload bytes per string]).
+
+    Raises PermissionError if the server requires a token and
+    ``auth_token`` is missing or wrong."""
     with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
         s.connect(socket_path)
-        _send_msg(s, json.dumps({"strings": strings, "format": fmt}).encode())
+        req = {"strings": strings, "format": fmt}
+        if auth_token is not None:
+            req["auth"] = auth_token
+        _send_msg(s, json.dumps(req).encode())
         header = json.loads(_recv_msg(s))
+        if "error" in header:
+            raise PermissionError(header["error"])
         if fmt == "bmp":
             payloads = [_recv_msg(s) for _ in range(header["count"])]
         else:

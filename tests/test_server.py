@@ -149,3 +149,26 @@ def test_int8_server_roundtrip(tmp_path):
             assert np.max(np.abs(got - np.clip(direct[i], 0, 1))) < 4 / 255
     finally:
         srv.stop()
+
+
+def test_auth_token_gates_requests(tmp_path):
+    """With auth_token set: wrong/missing tokens get {"error":
+    "unauthorized"} (PermissionError in the client helper) and no render;
+    the right token serves normally. Without a token the field is
+    ignored."""
+    params = font_renderer.init(jax.random.PRNGKey(0), MCFG)
+    sock = str(tmp_path / "afrauth.sock")
+    srv = RenderServer(
+        params, MCFG, socket_path=sock, batch_size=8, auth_token="s3cret"
+    )
+    srv.start()
+    try:
+        with pytest.raises(PermissionError):
+            request_render(sock, ["HI"])
+        with pytest.raises(PermissionError):
+            request_render(sock, ["HI"], auth_token="wrong")
+        header, payloads = request_render(sock, ["HI"], auth_token="s3cret")
+        assert header["count"] == 1
+        assert len(payloads[0]) == 16 * 48
+    finally:
+        srv.stop()
