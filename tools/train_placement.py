@@ -105,6 +105,24 @@ def main() -> None:
         "warmup then cosine decay to 0 over the full epoch budget "
         "(for the longer runs — constant 1e-3 never anneals the tail)",
     )
+    ap.add_argument(
+        "--boundary-boost",
+        type=int,
+        default=1,
+        metavar="F",
+        help="oversample (replicate F-1 extra times in the train split) "
+        "strings containing a near-boundary wrap decision — a line whose "
+        "rightmost glyph extent comes within --boundary-margin px of the "
+        "usable width. These are where the residual ~2%% break errors "
+        "live (RESULTS.md: val-worst pinned at ~1 sheet width); the val "
+        "split is untouched so metrics stay comparable",
+    )
+    ap.add_argument(
+        "--boundary-margin",
+        type=float,
+        default=12.0,
+        help="margin in px for --boundary-boost's near-boundary test",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--e2e-steps", type=int, default=3000)
     ap.add_argument("--no-e2e", action="store_true")
@@ -148,6 +166,26 @@ def main() -> None:
     rng = np.random.default_rng(42)
     perm = rng.permutation(args.samples)
     tr, va = perm[n_val:], perm[:n_val]
+    if args.boundary_boost > 1:
+        # A string is HARD when some line's rightmost glyph extent
+        # (midpoint + half-advance = the pen's right edge) comes within
+        # the margin of the usable width — i.e. a wrap decision was
+        # nearly the other way. Replicate those train indices so the CE
+        # sees the ambiguous boundary cases boost-times as often.
+        adv_px = np.full(128, table.advances_px[0], np.float32)
+        for i, c in enumerate(charset):
+            adv_px[ord(c)] = table.advances_px[i]
+        half_adv = 0.5 * adv_px[np.clip(codes_np, 0, 127)]
+        extent = np.where(vis_np, mids_np[..., 0] + half_adv, 0.0).max(axis=1)
+        hard = extent > (spec.width - spec.padding - args.boundary_margin)
+        boosted = tr[hard[tr]]
+        tr = np.concatenate([tr] + [boosted] * (args.boundary_boost - 1))
+        print(
+            f"boundary boost: {len(boosted)}/{args.samples - n_val} hard "
+            f"train strings x{args.boundary_boost} "
+            f"(epoch now {len(tr)} samples)",
+            flush=True,
+        )
     codes = jnp.asarray(codes_np)
     mids = jnp.asarray(mids_np)
     vis = jnp.asarray(vis_np)
