@@ -123,6 +123,19 @@ def main() -> None:
         default=12.0,
         help="margin in px for --boundary-boost's near-boundary test",
     )
+    ap.add_argument(
+        "--boundary-mode",
+        default="extent",
+        choices=["extent", "break"],
+        help="hardness test for --boundary-boost. 'extent' (queue-12 "
+        "baseline): some line's rightmost glyph extent comes within the "
+        "margin of the usable width — crisp on monospace, diffuse under "
+        "kerning (measured split, RESULTS.md). 'break': some wrap "
+        "DECISION was within the margin of flipping — min over the "
+        "engine's accept/reject choices of |measure(candidate) − "
+        "usable_width|, the kerning-aware signal (a rejected word that "
+        "barely overflowed, or an accepted one that barely fit)",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--e2e-steps", type=int, default=3000)
     ap.add_argument("--no-e2e", action="store_true")
@@ -167,17 +180,44 @@ def main() -> None:
     perm = rng.permutation(args.samples)
     tr, va = perm[n_val:], perm[:n_val]
     if args.boundary_boost > 1:
-        # A string is HARD when some line's rightmost glyph extent
-        # (midpoint + half-advance = the pen's right edge) comes within
-        # the margin of the usable width — i.e. a wrap decision was
-        # nearly the other way. Replicate those train indices so the CE
-        # sees the ambiguous boundary cases boost-times as often.
-        adv_px = np.full(128, table.advances_px[0], np.float32)
-        for i, c in enumerate(charset):
-            adv_px[ord(c)] = table.advances_px[i]
-        half_adv = 0.5 * adv_px[np.clip(codes_np, 0, 127)]
-        extent = np.where(vis_np, mids_np[..., 0] + half_adv, 0.0).max(axis=1)
-        hard = extent > (spec.width - spec.padding - args.boundary_margin)
+        # Replicate HARD train indices so the CE sees the ambiguous
+        # boundary cases boost-times as often. Two hardness tests
+        # (--boundary-mode): 'extent' — some line's rightmost glyph
+        # extent (midpoint + half-advance = the pen's right edge) comes
+        # within the margin of the usable width; 'break' — some wrap
+        # decision was within the margin of flipping (the kerning-aware
+        # per-decision signal, replaying the engine's greedy accept/
+        # reject walk with table.measure).
+        if args.boundary_mode == "break":
+            max_w = spec.width - 2 * spec.padding
+            S = spec.max_chars
+
+            def min_decision_margin(text: str) -> float:
+                m = np.inf
+                cur = ""
+                for w in text[:S].split(" "):
+                    test = f"{cur} {w}" if cur else w
+                    meas = table.measure(test)
+                    if meas > max_w and cur:
+                        m = min(m, meas - max_w)  # rejected: overflow
+                        cur = w
+                    else:
+                        if cur and meas <= max_w:
+                            m = min(m, max_w - meas)  # accepted: slack
+                        cur = test
+                return m
+
+            margins = np.array([min_decision_margin(s) for s in strings])
+            hard = margins < args.boundary_margin
+        else:
+            adv_px = np.full(128, table.advances_px[0], np.float32)
+            for i, c in enumerate(charset):
+                adv_px[ord(c)] = table.advances_px[i]
+            half_adv = 0.5 * adv_px[np.clip(codes_np, 0, 127)]
+            extent = np.where(vis_np, mids_np[..., 0] + half_adv, 0.0).max(
+                axis=1
+            )
+            hard = extent > (spec.width - spec.padding - args.boundary_margin)
         boosted = tr[hard[tr]]
         tr = np.concatenate([tr] + [boosted] * (args.boundary_boost - 1))
         print(
