@@ -335,6 +335,7 @@ def placement_targets(
     spec: SheetSpec = SheetSpec(),
     max_glyphs: int = 100,
     full: bool = False,
+    margins: bool = False,
 ):
     """Engine ground truth, indexed by ORIGINAL character slot.
 
@@ -345,6 +346,15 @@ def placement_targets(
     implicit_sheet.place_glyphs); spaces, unknown chars, characters
     whose separator space is consumed by a line break, and glyphs past
     ``max_glyphs`` are invisible (midpoints stay 0 — mask them in losses).
+
+    ``margins=True`` appends a per-slot decision margin [N, S] f32: for
+    each word placed against a non-empty line, how many px the engine's
+    accept/reject test was from flipping (|measure(candidate) − usable
+    width|), assigned to that word's slots and its separator space;
+    slots whose line assignment involved no contested decision (first
+    word of a string, words following a just-broken line) stay +inf.
+    This is the per-slot form of the queue-13 break-hardness signal
+    (RESULTS.md) — weight losses with it instead of resampling.
 
     ``full=True`` additionally returns the structural supervision the
     structured head trains on: (line_idx [N, S] int32, contrib [N, S]
@@ -363,6 +373,7 @@ def placement_targets(
     vis = np.zeros((n, S), bool)
     line_idx = np.zeros((n, S), np.int32)
     contrib = np.zeros((n, S), bool)
+    margin = np.full((n, S), np.inf, np.float32)
     for si, text in enumerate(strings):
         text = text[:S]
         words = text.split(" ")
@@ -387,7 +398,17 @@ def placement_targets(
             else:
                 test = word
                 tchars = wchars
-            if table.measure(test) > max_width and cur_text:
+            meas = table.measure(test)
+            if cur_text:
+                # The accept/reject decision for THIS word: its margin
+                # (px from flipping) marks the word's slots and its
+                # separator space as boundary-contested supervision.
+                m = abs(meas - max_width)
+                for ci, _ in wchars:
+                    margin[si, ci] = m
+                if offs[wi] > 0:
+                    margin[si, offs[wi] - 1] = m
+            if meas > max_width and cur_text:
                 lines.append(cur_chars)
                 cur_text, cur_chars = word, wchars
             else:
@@ -415,9 +436,12 @@ def placement_targets(
                     vis[si, ci] = True
                     g += 1
                 pen += a
+    out = [mids, vis]
     if full:
-        return mids, vis, line_idx, contrib
-    return mids, vis
+        out += [line_idx, contrib]
+    if margins:
+        out.append(margin)
+    return tuple(out) if len(out) > 2 else (mids, vis)
 
 
 def _bce(logit: jax.Array, target_f: jax.Array) -> jax.Array:
@@ -441,6 +465,7 @@ def loss_fn(
     line_tgt: jax.Array | None = None,
     contrib_tgt: jax.Array | None = None,
     detach_structure: bool = False,
+    ce_w: jax.Array | None = None,
 ) -> jax.Array:
     """Masked position loss (visible slots) + visibility BCE.
 
@@ -455,6 +480,12 @@ def loss_fn(
     slots) + weighted line CE over *contributing* slots (spaces shape
     later glyphs' x, so their line assignment is supervised too) +
     contribution BCE + visibility BCE.
+
+    ``ce_w`` (optional [N, S] f32) reweights the line CE per slot
+    (weighted mean: Σ w·CE / Σ w) — the loss-side alternative to
+    boundary resampling; build weights from
+    ``placement_targets(..., margins=True)``. Ignored by the
+    regression head (no CE term).
     """
     visf = vis.astype(jnp.float32)
     n_vis = jnp.maximum(jnp.sum(visf), 1.0)
@@ -479,11 +510,12 @@ def loss_fn(
         )
         pos_x = jnp.sum((px - mids[..., 0]) ** 2 * visf) / n_vis
         cf = contrib_tgt.astype(jnp.float32)
-        n_con = jnp.maximum(jnp.sum(cf), 1.0)
+        cw = cf if ce_w is None else cf * ce_w
+        n_con = jnp.maximum(jnp.sum(cw), 1.0)
         tgt = jnp.clip(line_tgt, 0, L - 1)
         logp = jax.nn.log_softmax(llog, axis=-1)
         ce = -jnp.sum(
-            jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0] * cf
+            jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0] * cw
         ) / n_con
         pos = pos_x + 100.0 * ce + _bce(out[..., 2], cf)
     else:
@@ -495,8 +527,9 @@ def loss_fn(
             jnp.round(mids[..., 1] / lh).astype(jnp.int32) - 1, 0, L - 1
         )
         logp = jax.nn.log_softmax(out[..., 2:], axis=-1)
+        cw = visf if ce_w is None else visf * ce_w
         ce = -jnp.sum(
-            jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0] * visf
-        ) / n_vis
+            jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0] * cw
+        ) / jnp.maximum(jnp.sum(cw), 1.0)
         pos = pos_x + 100.0 * ce
     return pos + _bce(logit, visf)

@@ -602,3 +602,101 @@ def test_structured_detach_blocks_structure_gradients():
         )
     )(params["place_adv"])
     assert float(jnp.abs(g_adv).sum()) > 0.0
+
+
+def test_placement_target_margins():
+    """margins=True: each word tested against a non-empty line carries its
+    decision's |measure - usable width| on its slots and its separator
+    space; slots whose placement involved no contested decision (first
+    word of a string, words opening a fresh line after a break) stay
+    +inf. Composes with full=True (margins ride last)."""
+    font = TrueTypeFont.load(FIRACODE_PATH)
+    spec = SheetSpec()
+    table = _table(font, spec)
+    long_a, tail_b = "A" * 25, "B" * 8
+    strings = ["HELLO WORLD", f"{long_a} {tail_b}"]
+    mids, vis, margin = placement.placement_targets(
+        strings, table, spec, margins=True
+    )
+    max_w = spec.width - 2 * spec.padding
+
+    # First words: no accept/reject decision was taken against them.
+    assert np.isinf(margin[0, :5]).all()
+    assert np.isinf(margin[1, : len(long_a)]).all()
+    # Accepted word: "WORLD" was tested as "HELLO WORLD" (fits) -- its
+    # slots and the separator space carry the slack margin.
+    m_acc = max_w - table.measure("HELLO WORLD")
+    assert 0 < m_acc
+    np.testing.assert_allclose(margin[0, 5:11], m_acc, atol=1e-4)
+    # Rejected word: the 25+8 candidate overflows, breaking the line --
+    # the tail word's slots carry the overflow margin.
+    cand = f"{long_a} {tail_b}"
+    m_rej = table.measure(cand) - max_w
+    assert 0 < m_rej
+    np.testing.assert_allclose(
+        margin[1, len(long_a) : len(cand)], m_rej, atol=1e-4
+    )
+
+    # full=True keeps the (line, contrib) pair in place, margins last.
+    out = placement.placement_targets(
+        strings, table, spec, full=True, margins=True
+    )
+    assert len(out) == 5
+    np.testing.assert_array_equal(out[4], margin)
+    np.testing.assert_array_equal(out[1], vis)
+
+
+def test_ce_weights_identity_and_emphasis():
+    """loss_fn(ce_w=ones) must equal the unweighted loss bit-for-bit on
+    both CE heads (weighted mean normalization), and non-uniform weights
+    must actually change the loss."""
+    font = TrueTypeFont.load(FIRACODE_PATH)
+    spec = SheetSpec()
+    table = _table(font, spec)
+    strings = ["HELLO WORLD", "AB " * 12]
+    mids, vis, line_t, contrib, margin = placement.placement_targets(
+        strings, table, spec, full=True, margins=True
+    )
+    codes = jnp.asarray(encode_codes(strings, spec.max_chars))
+    mids_j, vis_j = jnp.asarray(mids), jnp.asarray(vis)
+    lt, ct = jnp.asarray(line_t), jnp.asarray(contrib)
+    cfg = ModelConfig()
+    ones = jnp.ones(vis.shape, jnp.float32)
+    boosted = jnp.asarray(
+        1.0 + 2.0 * (margin < 24.0).astype(np.float32)
+    )
+    assert float(boosted.max()) == 3.0  # the boost actually selects slots
+
+    # Line-classification head.
+    p_line = placement.init(jax.random.PRNGKey(0), cfg, lines=5)
+    base = placement.loss_fn(
+        p_line, codes, mids_j, vis_j, cfg, train=False
+    )
+    same = placement.loss_fn(
+        p_line, codes, mids_j, vis_j, cfg, train=False, ce_w=ones
+    )
+    assert float(base) == float(same)
+    diff = placement.loss_fn(
+        p_line, codes, mids_j, vis_j, cfg, train=False, ce_w=boosted
+    )
+    assert float(diff) != float(base)
+
+    # Structured head.
+    adv128, kern128 = _ascii_tables(table)
+    p_s = placement.init(
+        jax.random.PRNGKey(1), cfg, lines=5, advances=adv128, kerning=kern128
+    )
+    base_s = placement.loss_fn(
+        p_s, codes, mids_j, vis_j, cfg, train=False, line_tgt=lt,
+        contrib_tgt=ct,
+    )
+    same_s = placement.loss_fn(
+        p_s, codes, mids_j, vis_j, cfg, train=False, line_tgt=lt,
+        contrib_tgt=ct, ce_w=ones,
+    )
+    assert float(base_s) == float(same_s)
+    diff_s = placement.loss_fn(
+        p_s, codes, mids_j, vis_j, cfg, train=False, line_tgt=lt,
+        contrib_tgt=ct, ce_w=boosted,
+    )
+    assert float(diff_s) != float(base_s)

@@ -136,6 +136,19 @@ def main() -> None:
         "usable_width|, the kerning-aware signal (a rejected word that "
         "barely overflowed, or an accepted one that barely fit)",
     )
+    ap.add_argument(
+        "--break-ce-boost",
+        type=float,
+        default=0.0,
+        metavar="B",
+        help="loss-side alternative to --boundary-boost (measured out "
+        "for proportional fonts, RESULTS.md): weight each slot's line "
+        "CE by 1+B when the slot's own wrap decision was within "
+        "--boundary-margin px of flipping (placement_targets margins). "
+        "Emphasizes exactly the contested decisions without diluting "
+        "the average case the way resampling does. Requires a line "
+        "head",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--e2e-steps", type=int, default=3000)
     ap.add_argument("--no-e2e", action="store_true")
@@ -163,16 +176,28 @@ def main() -> None:
 
     if args.structured and args.line_head < 2:
         ap.error("--structured requires --line-head L (L >= 2)")
+    if args.break_ce_boost > 0 and args.line_head < 2:
+        ap.error("--break-ce-boost weights a line CE; needs --line-head")
 
     t0 = time.time()
     strings = generate_corpus(args.samples)
     codes_np = encode_codes(strings, spec.max_chars)
+    want_margins = args.break_ce_boost > 0
+    margin_np = None
     if args.structured:
-        mids_np, vis_np, line_np, contrib_np = placement.placement_targets(
-            strings, table, spec, full=True
+        tgts = placement.placement_targets(
+            strings, table, spec, full=True, margins=want_margins
         )
+        mids_np, vis_np, line_np, contrib_np = tgts[:4]
+        if want_margins:
+            margin_np = tgts[4]
     else:
-        mids_np, vis_np = placement.placement_targets(strings, table, spec)
+        tgts = placement.placement_targets(
+            strings, table, spec, margins=want_margins
+        )
+        mids_np, vis_np = tgts[:2]
+        if want_margins:
+            margin_np = tgts[2]
     print(f"targets built in {time.time() - t0:.1f} s", flush=True)
 
     n_val = args.samples // 5
@@ -229,6 +254,17 @@ def main() -> None:
     codes = jnp.asarray(codes_np)
     mids = jnp.asarray(mids_np)
     vis = jnp.asarray(vis_np)
+    ce_w = None
+    if args.break_ce_boost > 0:
+        hard_slot = margin_np < args.boundary_margin
+        ce_w = jnp.asarray(
+            1.0 + args.break_ce_boost * hard_slot.astype(np.float32)
+        )
+        print(
+            f"break-CE boost: {hard_slot.mean():.3f} of slots weighted "
+            f"x{1 + args.break_ce_boost:g} (margin < {args.boundary_margin})",
+            flush=True,
+        )
     if args.structured:
         line_t = jnp.asarray(line_np)
         contrib_t = jnp.asarray(contrib_np)
@@ -262,12 +298,14 @@ def main() -> None:
     opt_state = opt.init(params)
 
     @jax.jit
-    def step(params, opt_state, c, m, v, lt, ct, key):
-        # lt/ct are None (empty pytrees under jit) for the non-structured
-        # heads; loss_fn dispatches on the params' own head mode.
+    def step(params, opt_state, c, m, v, lt, ct, cw, key):
+        # lt/ct/cw are None (empty pytrees under jit) when the head or
+        # flag doesn't use them; loss_fn dispatches on the params' own
+        # head mode.
         loss, grads = jax.value_and_grad(placement.loss_fn)(
             params, c, m, v, pcfg, key=key, train=True, line_tgt=lt,
             contrib_tgt=ct, detach_structure=args.detach_structure,
+            ce_w=cw,
         )
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
@@ -305,8 +343,10 @@ def main() -> None:
             key, sub = jax.random.split(key)
             lt = line_t[idx] if args.structured else None
             ct = contrib_t[idx] if args.structured else None
+            cw = ce_w[idx] if ce_w is not None else None
             params, opt_state, loss = step(
-                params, opt_state, codes[idx], mids[idx], vis[idx], lt, ct, sub
+                params, opt_state, codes[idx], mids[idx], vis[idx], lt, ct,
+                cw, sub
             )
             loss_sum += float(loss)
         vi = jnp.asarray(va[: 4096])
