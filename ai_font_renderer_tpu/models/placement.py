@@ -40,6 +40,7 @@ def init(
     lines: int = 0,
     advances: np.ndarray | None = None,
     kerning: np.ndarray | None = None,
+    uncertainty: bool = False,
 ) -> dict:
     """Frontend params + a per-slot placement head.
 
@@ -71,6 +72,16 @@ def init(
     tables ride in the checkpoint (``place_adv``/``place_kern``) so a
     structured npz is self-contained; they are trainable, initialized
     from the engine's metrics.
+
+    ``uncertainty=True`` adds ``loss_logvar`` — one learned log-variance
+    per loss term (x, line CE, contribution BCE, visibility BCE; the
+    unused tail stays 0 for simpler heads). :func:`loss_fn` then
+    combines terms as Σ exp(−s)·L + s (Kendall-style homoscedastic
+    uncertainty weighting), initialized at s=0 so step 0 reproduces the
+    fixed-weight loss exactly. Motivation (RESULTS.md queues 12-15):
+    four measured A/Bs located the placement bottleneck in gradient
+    COMPETITION among the terms on the shared trunk — this makes the
+    trade-off itself a trained parameter instead of a hand weight.
 
     The head mode is carried by the weights themselves (shape of
     ``place_w``; presence of ``place_adv``), so saved checkpoints
@@ -108,6 +119,8 @@ def init(
         k_head, (h, n_out), minval=-bound, maxval=bound
     )
     params["place_b"] = jnp.zeros((n_out,))
+    if uncertainty:
+        params["loss_logvar"] = jnp.zeros((4,))
     return params
 
 
@@ -486,6 +499,12 @@ def loss_fn(
     boundary resampling; build weights from
     ``placement_targets(..., margins=True)``. Ignored by the
     regression head (no CE term).
+
+    When the params carry ``loss_logvar`` (``init(uncertainty=True)``),
+    the terms are combined as Σ exp(−sᵢ)·Lᵢ + sᵢ instead of a plain sum
+    (slots: 0=x/position, 1=weighted line CE, 2=contribution BCE,
+    3=visibility BCE) — at s=0 this equals the fixed-weight loss, and
+    the regularizer term +sᵢ stops the weights from collapsing to 0.
     """
     visf = vis.astype(jnp.float32)
     n_vis = jnp.maximum(jnp.sum(visf), 1.0)
@@ -494,6 +513,7 @@ def loss_fn(
     if L == 0:
         pred_xy, logit = apply(params, codes, cfg, train=train, key=key)
         pos = jnp.sum(jnp.sum((pred_xy - mids) ** 2, -1) * visf) / n_vis
+        terms = [(0, pos)]
     elif head_structured(params):
         if line_tgt is None or contrib_tgt is None:
             raise ValueError(
@@ -517,7 +537,7 @@ def loss_fn(
         ce = -jnp.sum(
             jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0] * cw
         ) / n_con
-        pos = pos_x + 100.0 * ce + _bce(out[..., 2], cf)
+        terms = [(0, pos_x), (1, 100.0 * ce), (2, _bce(out[..., 2], cf))]
     else:
         x = font_renderer.features(params, codes, cfg, train=train, key=key)
         out = _head(x, params["place_w"], params["place_b"])
@@ -531,5 +551,9 @@ def loss_fn(
         ce = -jnp.sum(
             jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0] * cw
         ) / jnp.maximum(jnp.sum(cw), 1.0)
-        pos = pos_x + 100.0 * ce
-    return pos + _bce(logit, visf)
+        terms = [(0, pos_x), (1, 100.0 * ce)]
+    terms.append((3, _bce(logit, visf)))
+    if "loss_logvar" in params:
+        s = params["loss_logvar"]
+        return sum(jnp.exp(-s[i]) * t + s[i] for i, t in terms)
+    return sum(t for _, t in terms)

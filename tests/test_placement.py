@@ -700,3 +700,49 @@ def test_ce_weights_identity_and_emphasis():
         contrib_tgt=ct, ce_w=boosted,
     )
     assert float(diff_s) != float(base_s)
+
+
+def test_uncertainty_weighted_loss():
+    """init(uncertainty=True) adds loss_logvar; at s=0 the combined loss
+    equals the fixed-weight loss exactly, gradients flow into s, and a
+    nonzero s changes the loss (exp(-s)*L + s combination)."""
+    font = TrueTypeFont.load(FIRACODE_PATH)
+    spec = SheetSpec()
+    table = _table(font, spec)
+    strings = ["HELLO WORLD", "AB " * 12]
+    mids, vis, line_t, contrib = placement.placement_targets(
+        strings, table, spec, full=True
+    )
+    codes = jnp.asarray(encode_codes(strings, spec.max_chars))
+    mids_j, vis_j = jnp.asarray(mids), jnp.asarray(vis)
+    lt, ct = jnp.asarray(line_t), jnp.asarray(contrib)
+    cfg = ModelConfig()
+    adv128, kern128 = _ascii_tables(table)
+    p_u = placement.init(
+        jax.random.PRNGKey(1), cfg, lines=5, advances=adv128,
+        kerning=kern128, uncertainty=True,
+    )
+    assert p_u["loss_logvar"].shape == (4,)
+    p_fixed = {k: v for k, v in p_u.items() if k != "loss_logvar"}
+
+    def loss(p):
+        return placement.loss_fn(
+            p, codes, mids_j, vis_j, cfg, train=False, line_tgt=lt,
+            contrib_tgt=ct,
+        )
+
+    assert float(loss(p_u)) == float(loss(p_fixed))  # s=0 reproduces
+    g = jax.grad(loss)(p_u)["loss_logvar"]
+    # dL/ds_i = -exp(-s_i)*L_i + 1 = 1 - L_i at s=0: nonzero for every
+    # term whose raw value isn't exactly 1.
+    assert float(jnp.abs(g).sum()) > 0.0
+    p_s = dict(p_u, loss_logvar=jnp.array([1.0, -1.0, 0.5, 0.0]))
+    assert float(loss(p_s)) != float(loss(p_u))
+    # Regression head composes too (terms 0 and 3 only).
+    p_reg = placement.init(jax.random.PRNGKey(2), cfg, uncertainty=True)
+
+    def loss_reg(p):
+        return placement.loss_fn(p, codes, mids_j, vis_j, cfg, train=False)
+
+    p_reg_fixed = {k: v for k, v in p_reg.items() if k != "loss_logvar"}
+    assert float(loss_reg(p_reg)) == float(loss_reg(p_reg_fixed))

@@ -149,6 +149,16 @@ def main() -> None:
         "the average case the way resampling does. Requires a line "
         "head",
     )
+    ap.add_argument(
+        "--uncertainty-weights",
+        action="store_true",
+        help="learn the loss-term balance (Kendall-style homoscedastic "
+        "uncertainty weighting: one log-variance per term, combined as "
+        "sum(exp(-s)*L + s), initialized to reproduce the fixed weights "
+        "exactly). Targets the measured queue-12..15 diagnosis that "
+        "gradient competition among x-MSE / line CE / visibility BCE "
+        "on the shared trunk binds the pixel metric",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--e2e-steps", type=int, default=3000)
     ap.add_argument("--no-e2e", action="store_true")
@@ -284,9 +294,15 @@ def main() -> None:
             lines=args.line_head,
             advances=adv128,
             kerning=kern128,
+            uncertainty=args.uncertainty_weights,
         )
     else:
-        params = placement.init(jax.random.PRNGKey(0), pcfg, lines=args.line_head)
+        params = placement.init(
+            jax.random.PRNGKey(0),
+            pcfg,
+            lines=args.line_head,
+            uncertainty=args.uncertainty_weights,
+        )
     total_steps = max(args.epochs * (len(tr) // args.batch), 1)
     if args.schedule == "cosine":
         lr = optax.warmup_cosine_decay_schedule(
@@ -361,6 +377,10 @@ def main() -> None:
         }
         if args.line_head:
             rec["val_line_acc"] = float(lacc)
+        if args.uncertainty_weights:
+            rec["loss_logvar"] = [
+                round(float(v), 4) for v in np.asarray(params["loss_logvar"])
+            ]
         print(json.dumps(rec), flush=True)
         metrics.write(json.dumps(rec) + "\n")
 
