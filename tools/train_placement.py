@@ -159,6 +159,24 @@ def main() -> None:
         "gradient competition among x-MSE / line CE / visibility BCE "
         "on the shared trunk binds the pixel metric",
     )
+    ap.add_argument(
+        "--init-from",
+        default=None,
+        metavar="NPZ",
+        help="initialize params from a saved placement checkpoint instead "
+        "of random init (head mode/config must match the flags). With "
+        "--epochs 0 this turns the tool into a pure pixel-objective "
+        "fine-tuner over an existing supervised run",
+    )
+    ap.add_argument(
+        "--finetune-samples",
+        type=int,
+        default=256,
+        help="corpus train strings the pixel fine-tune optimizes over "
+        "(ground truth synthesized on device). The round-3 default 256 "
+        "revisits each sheet every 4 steps at batch 64 — raise it "
+        "together with --finetune-steps to scale the pixel objective",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--e2e-steps", type=int, default=3000)
     ap.add_argument("--no-e2e", action="store_true")
@@ -303,6 +321,21 @@ def main() -> None:
             lines=args.line_head,
             uncertainty=args.uncertainty_weights,
         )
+    if args.init_from:
+        from ai_font_renderer_tpu.utils.checkpoint import load_params
+
+        loaded = load_params(args.init_from)
+        if placement.head_lines(loaded) != placement.head_lines(params) or (
+            placement.head_structured(loaded)
+            != placement.head_structured(params)
+        ):
+            ap.error(
+                f"--init-from checkpoint head (lines="
+                f"{placement.head_lines(loaded)}, structured="
+                f"{placement.head_structured(loaded)}) does not match the "
+                "requested flags"
+            )
+        params = loaded
     total_steps = max(args.epochs * (len(tr) // args.batch), 1)
     if args.schedule == "cosine":
         lr = optax.warmup_cosine_decay_schedule(
@@ -433,7 +466,9 @@ def main() -> None:
         )
         from ai_font_renderer_tpu.fontgen.ttf import TrueTypeFont as _TTF
 
-        ft_n = 256
+        # Round to a whole number of batch-64 slices so every jitted
+        # fine-tune step sees the same shapes.
+        ft_n = max(64, min(args.finetune_samples, len(tr)) // 64 * 64)
         ft_strings = [strings[i] for i in tr[:ft_n]]
         gt_ft = np.asarray(
             synthesize_ground_truth(atlas, ft_strings), np.float32
