@@ -517,6 +517,15 @@ def main() -> None:
             if first_px is None:
                 first_px = float(px_loss)
             last_px = float(px_loss)
+            if (s + 1) % 500 == 0:
+                # Progress heartbeat so long fine-tunes are pollable and
+                # an interrupted run still reports its trajectory.
+                metrics.write(
+                    json.dumps(
+                        {"finetune_step": s + 1, "pixel_mse": last_px}
+                    )
+                    + "\n"
+                )
         rec = {"finetune_pixel_mse_first": first_px, "finetune_pixel_mse_last": last_px}
         print(json.dumps(rec), flush=True)
         metrics.write(json.dumps(rec) + "\n")
