@@ -169,6 +169,16 @@ def main() -> None:
         "fine-tuner over an existing supervised run",
     )
     ap.add_argument(
+        "--finetune-schedule",
+        default="const",
+        choices=["const", "cosine"],
+        help="fine-tune LR schedule: const = 1e-4 throughout (round-3 "
+        "baseline); cosine = decay 1e-4 -> 0 over --finetune-steps "
+        "(the measured queue-18 trajectories oscillate batch-to-batch "
+        "at constant LR — anneal the tail to convert that into "
+        "convergence)",
+    )
+    ap.add_argument(
         "--finetune-samples",
         type=int,
         default=256,
@@ -497,7 +507,11 @@ def main() -> None:
             sheets = compose(sp, ids, origins, valid, scfg, lay)
             return jnp.mean((sheets - gt) ** 2)
 
-        ft_opt = optax.adam(1e-4)
+        if args.finetune_schedule == "cosine":
+            ft_lr = optax.cosine_decay_schedule(1e-4, args.finetune_steps)
+        else:
+            ft_lr = 1e-4
+        ft_opt = optax.adam(ft_lr)
         ft_state = ft_opt.init(params)
 
         @jax.jit
