@@ -105,6 +105,41 @@ def test_arbitrary_resolution(trained):
     assert float(np.mean((ds - out1) ** 2)) < 0.02
 
 
+def test_compose_differentiable_in_bank_and_origins():
+    """Joint pixel fine-tune contract (tools/train_placement.py
+    --finetune-joint): the sheet MSE must differentiate through compose()
+    into BOTH the window origins (placement side) and the SIREN bank
+    params (glyph fields), with finite, nonzero gradients for each."""
+    import jax.numpy as jnp
+
+    from ai_font_renderer_tpu.render.implicit_sheet import compose
+
+    font = TrueTypeFont.load(FIRACODE_PATH)
+    spec = SheetSpec()
+    cfg = siren.SirenConfig(
+        n_chars=len(CHARSET), cell=16, hidden_dim=32, n_layers=2
+    )
+    lay = build_layout(font, spec, cell=cfg.cell)
+    params = siren.init(jax.random.PRNGKey(0), cfg)
+    ids, origins, valid = place_glyphs(["AB A"], font, lay, spec, CHARSET)
+    ids, valid = jnp.asarray(ids), jnp.asarray(valid)
+    gt = jnp.zeros((1, lay.height, lay.width))
+
+    def loss(bank, orig):
+        sheets = compose(bank, ids, orig, valid, cfg, lay)
+        return jnp.mean((sheets - gt) ** 2)
+
+    g_bank, g_orig = jax.grad(loss, argnums=(0, 1))(
+        params, jnp.asarray(origins)
+    )
+    leaves = jax.tree_util.tree_leaves(g_bank)
+    assert leaves and all(bool(jnp.isfinite(g).all()) for g in leaves)
+    # The glyph-field gradient reaches every parameter tensor of the bank.
+    assert all(float(jnp.abs(g).sum()) > 0 for g in leaves)
+    assert bool(jnp.isfinite(g_orig).all())
+    assert float(jnp.abs(g_orig).sum()) > 0
+
+
 def test_empty_and_all_space_strings(trained):
     params, cfg = trained
     out = render_implicit_sheets(params, ["", "     "], FIRACODE_PATH, cfg, charset=CHARSET)

@@ -179,6 +179,19 @@ def main() -> None:
         "convergence)",
     )
     ap.add_argument(
+        "--finetune-joint",
+        action="store_true",
+        help="pixel fine-tune the SIREN bank JOINTLY with the placement "
+        "net (ROADMAP 'joint SIREN+placement pixel training'): the sheet "
+        "MSE differentiates through compose() into both the window "
+        "origins (placement) and the glyph fields themselves (SIREN), so "
+        "glyph shapes can absorb residuals placement cannot — e.g. "
+        "sub-pixel phase the bank baked in at its own anchoring. Saves "
+        "siren_finetuned.npz next to placement_finetuned.npz; the e2e "
+        "eval row uses the tuned bank, the oracle row keeps the original "
+        "bank (engine layout never saw the tuned one)",
+    )
+    ap.add_argument(
         "--finetune-samples",
         type=int,
         default=256,
@@ -186,6 +199,15 @@ def main() -> None:
         "(ground truth synthesized on device). The round-3 default 256 "
         "revisits each sheet every 4 steps at batch 64 — raise it "
         "together with --finetune-steps to scale the pixel objective",
+    )
+    ap.add_argument(
+        "--siren-from",
+        default=None,
+        metavar="NPZ",
+        help="load the e2e SIREN bank from a save_siren checkpoint "
+        "instead of retraining it (--e2e-steps is then ignored). Makes "
+        "fine-tune continuations exact: a --finetune-joint run must "
+        "resume the TUNED bank, not a fresh same-seed retrain",
     )
     ap.add_argument("--out", default=None)
     ap.add_argument("--e2e-steps", type=int, default=3000)
@@ -446,12 +468,21 @@ def main() -> None:
     if args.no_e2e:
         metrics.close()
         return
-    scfg = siren.SirenConfig(n_chars=len(charset), cell=64)
-    sp, losses, _ = train_siren(
-        font_path, scfg, charset=charset, steps=args.e2e_steps, lr=3e-4
-    )
-    from ai_font_renderer_tpu.utils.checkpoint import save_siren
+    from ai_font_renderer_tpu.utils.checkpoint import load_siren, save_siren
 
+    if args.siren_from:
+        sp, scfg, siren_charset = load_siren(args.siren_from)
+        if siren_charset != charset:
+            raise SystemExit(
+                f"--siren-from bank charset ({len(siren_charset)} chars) "
+                f"does not match the run charset ({len(charset)} chars)"
+            )
+        losses = [float("nan")]  # no training loss for a loaded bank
+    else:
+        scfg = siren.SirenConfig(n_chars=len(charset), cell=64)
+        sp, losses, _ = train_siren(
+            font_path, scfg, charset=charset, steps=args.e2e_steps, lr=3e-4
+        )
     save_siren(sp, scfg, charset, os.path.join(out_dir, "siren.npz"))
 
     if args.font == "montserrat":
@@ -461,6 +492,7 @@ def main() -> None:
     else:
         atlas = bake_atlas(font_path)
 
+    sp_eval = sp  # replaced by the tuned bank under --finetune-joint
     if args.finetune_steps > 0:
         # End-to-end pixel fine-tune: sheet MSE -> compose() -> placement.
         # compose is differentiable in the window origins (coords enter the
@@ -501,10 +533,16 @@ def main() -> None:
                     val_np[si, ci] = True
         ft_ids, ft_valid = jnp.asarray(ids_np), jnp.asarray(val_np)
 
-        def pixel_loss(p, c, ids, valid, gt):
+        def pixel_loss(tunable, c, ids, valid, gt):
+            # `tunable` is (placement, siren) under --finetune-joint, else
+            # just the placement params with the bank frozen in closure.
+            if args.finetune_joint:
+                p, bank = tunable
+            else:
+                p, bank = tunable, sp
             xy, _ = placement.apply(p, c, pcfg, train=False)
             origins = origins_from_midpoints(xy, lay)
-            sheets = compose(sp, ids, origins, valid, scfg, lay)
+            sheets = compose(bank, ids, origins, valid, scfg, lay)
             return jnp.mean((sheets - gt) ** 2)
 
         if args.finetune_schedule == "cosine":
@@ -512,21 +550,22 @@ def main() -> None:
         else:
             ft_lr = 1e-4
         ft_opt = optax.adam(ft_lr)
-        ft_state = ft_opt.init(params)
+        tunable = (params, sp) if args.finetune_joint else params
+        ft_state = ft_opt.init(tunable)
 
         @jax.jit
-        def ft_step(p, st, c, ids, valid, gt):
-            loss, grads = jax.value_and_grad(pixel_loss)(p, c, ids, valid, gt)
+        def ft_step(t, st, c, ids, valid, gt):
+            loss, grads = jax.value_and_grad(pixel_loss)(t, c, ids, valid, gt)
             updates, st = ft_opt.update(grads, st)
-            return optax.apply_updates(p, updates), st, loss
+            return optax.apply_updates(t, updates), st, loss
 
         bs = 64
         first_px = last_px = None
         for s in range(args.finetune_steps):
             lo = (s * bs) % ft_n
             sl = slice(lo, lo + bs)
-            params, ft_state, px_loss = ft_step(
-                params, ft_state, ft_codes[sl], ft_ids[sl], ft_valid[sl], gt_ft[sl]
+            tunable, ft_state, px_loss = ft_step(
+                tunable, ft_state, ft_codes[sl], ft_ids[sl], ft_valid[sl], gt_ft[sl]
             )
             if first_px is None:
                 first_px = float(px_loss)
@@ -540,15 +579,32 @@ def main() -> None:
                     )
                     + "\n"
                 )
+        if args.finetune_joint:
+            params, sp_tuned = tunable
+        else:
+            params, sp_tuned = tunable, None
         rec = {"finetune_pixel_mse_first": first_px, "finetune_pixel_mse_last": last_px}
         print(json.dumps(rec), flush=True)
         metrics.write(json.dumps(rec) + "\n")
         save_params(
             params, os.path.join(out_dir, "placement_finetuned.npz"), mcfg=pcfg
         )
+        if sp_tuned is not None:
+            save_siren(
+                sp_tuned, scfg, charset,
+                os.path.join(out_dir, "siren_finetuned.npz"),
+            )
+            # The e2e eval row should measure what joint training bought:
+            # the tuned bank renders the learned sheets. The oracle row
+            # below keeps the ORIGINAL bank — engine layout never trained
+            # against the tuned one, so that row stays the same floor as
+            # the non-joint runs.
+            sp_eval = sp_tuned
+        else:
+            sp_eval = sp
 
     learned = render_learned_sheets(
-        sp, params, TEST_STRINGS, font_path, scfg, pcfg, spec, charset=charset
+        sp_eval, params, TEST_STRINGS, font_path, scfg, pcfg, spec, charset=charset
     )
     oracle = render_implicit_sheets(
         sp, TEST_STRINGS, font_path, scfg, spec, charset=charset
@@ -565,7 +621,9 @@ def main() -> None:
     rec = {
         "end_to_end_neural_render_mse": float(np.mean((learned - gt) ** 2)),
         "engine_layout_oracle_mse": float(np.mean((oracle - gt) ** 2)),
-        "siren_final_loss": float(losses[-1]),
+        "siren_final_loss": (
+            None if np.isnan(losses[-1]) else float(losses[-1])
+        ),
         "font": args.font,
     }
     print(json.dumps(rec), flush=True)
