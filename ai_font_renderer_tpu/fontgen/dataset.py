@@ -214,24 +214,66 @@ def build_device_dataset_prop(
     return DeviceDataset(codes=jnp.asarray(codes), targets_u8=targets)
 
 
-def synthesize_ground_truth(atlas, strings: list[str]) -> np.ndarray:
+def synthesize_ground_truth(
+    atlas, strings: list[str], on_device: bool = False, synth_batch: int = 1024
+) -> np.ndarray:
     """Ground-truth sheets for arbitrary strings, either atlas type.
 
     The rasterizer-defined rendering of ``strings`` — what a perfect model
     would output. Used for render-fidelity evaluation.
+
+    ``on_device=True`` synthesizes in fixed-shape chunks through the
+    f32/HIGHEST device einsum path instead of the single-core numpy
+    oracle — the same 8-bit quantization grid (identical rounded-integer
+    sheets; the float values can differ by one f32 ulp where XLA folds
+    the /255 into a reciprocal multiply), minutes faster for large string
+    sets (e.g. the 32k-sheet pixel fine-tune corpora in
+    tools/train_placement.py).
     """
+    import jax.numpy as _jnp
+
     from .atlas import GlyphAtlas
 
     if isinstance(atlas, GlyphAtlas):
         grids = encode_grids(
             strings, atlas.advance_table(), atlas.spec, atlas.n_lines, atlas.n_slots
         )
-        from .sheets import synthesize_sheets_host
+        if not on_device:
+            from .sheets import synthesize_sheets_host
 
-        return synthesize_sheets_host(atlas, grids)
-    from .proportional import encode_prop_grids, synthesize_prop_host
+            return synthesize_sheets_host(atlas, grids)
+        ops = make_synth_ops(atlas, _jnp.float32)
+        synth = lambda part: synthesize_sheets(ops, _jnp.asarray(part))
+    else:
+        from .proportional import (
+            _synth,
+            encode_prop_grids,
+            make_prop_placements,
+        )
 
-    return synthesize_prop_host(atlas, encode_prop_grids(strings, atlas))
+        grids = encode_prop_grids(strings, atlas)
+        if not on_device:
+            from .proportional import synthesize_prop_host
+
+            return synthesize_prop_host(atlas, grids)
+        col, row = make_prop_placements(atlas)
+        table = _jnp.asarray(atlas.table, _jnp.float32)
+        colj, rowj = _jnp.asarray(col, _jnp.float32), _jnp.asarray(row, _jnp.float32)
+        synth = lambda part: _synth(table, colj, rowj, _jnp.asarray(part))
+
+    n = len(grids)
+    chunks = []
+    for start in range(0, n, synth_batch):
+        part = grids[start : start + synth_batch]
+        pad = synth_batch - len(part)
+        if pad and n > synth_batch:  # keep one compiled shape across chunks
+            part = np.concatenate(
+                [part, np.zeros((pad,) + part.shape[1:], part.dtype)]
+            )
+            chunks.append(np.asarray(synth(part))[: synth_batch - pad])
+        else:
+            chunks.append(np.asarray(synth(part)))
+    return np.concatenate(chunks, axis=0)
 
 
 def load_string_dataset(

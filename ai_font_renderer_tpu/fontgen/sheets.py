@@ -143,7 +143,7 @@ def synthesize_sheets_host(atlas: GlyphAtlas, grids: np.ndarray) -> np.ndarray:
     line_ix = np.broadcast_to(np.arange(L)[:, None], (L, S))
     slot_ix = np.broadcast_to(np.arange(S)[None, :], (L, S))
     cells = atlas.table[line_ix, slot_ix, grids]
-    strips = np.einsum("blsac,scx->blax", cells, col)
-    cov = np.einsum("blax,lay->byx", strips, row)
+    strips = np.einsum("blsac,scx->blax", cells, col, optimize=True)
+    cov = np.einsum("blax,lay->byx", strips, row, optimize=True)
     sheet = np.clip(1.0 - cov, 0.0, 1.0)
     return (np.round(sheet * 255.0) / 255.0).astype(np.float32)

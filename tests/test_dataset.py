@@ -113,3 +113,35 @@ def test_subset_build_matches_full_dataset():
     np.testing.assert_array_equal(
         np.asarray(sub.targets_u8), np.asarray(full.targets_u8)[sub_idx]
     )
+
+
+def test_ground_truth_device_matches_host_oracle():
+    """synthesize_ground_truth(on_device=True) is the chunked f32/HIGHEST
+    device twin of the numpy oracle — same 8-bit quantized sheets (equal
+    rounded integers; floats may differ by one ulp where XLA folds /255
+    into a reciprocal multiply) for both atlas types, including the padded
+    final chunk (synth_batch=2 over 5 strings forces padding + reuse)."""
+    from ai_font_renderer_tpu.config import MONTSERRAT_PATH, SheetSpec
+    from ai_font_renderer_tpu.fontgen.dataset import synthesize_ground_truth
+    from ai_font_renderer_tpu.fontgen.proportional import bake_prop_atlas
+
+    strings = ["AB", "HELLO", "", "W W", "IIIII"]
+    spec = SheetSpec(width=60, height=20, max_chars=24)
+
+    mono = bake_atlas(FIRACODE_PATH, spec)
+    host = synthesize_ground_truth(mono, strings)
+    dev = synthesize_ground_truth(mono, strings, on_device=True, synth_batch=2)
+    np.testing.assert_array_equal(
+        np.round(dev * 255.0), np.round(host * 255.0)
+    )
+    assert np.abs(dev - host).max() <= 1e-6
+
+    prop = bake_prop_atlas(MONTSERRAT_PATH, spec)
+    host_p = synthesize_ground_truth(prop, strings)
+    dev_p = synthesize_ground_truth(
+        prop, strings, on_device=True, synth_batch=2
+    )
+    np.testing.assert_array_equal(
+        np.round(dev_p * 255.0), np.round(host_p * 255.0)
+    )
+    assert np.abs(dev_p - host_p).max() <= 1e-6

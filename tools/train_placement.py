@@ -513,7 +513,8 @@ def main() -> None:
         ft_n = max(64, min(args.finetune_samples, len(tr)) // 64 * 64)
         ft_strings = [strings[i] for i in tr[:ft_n]]
         gt_ft = np.asarray(
-            synthesize_ground_truth(atlas, ft_strings), np.float32
+            synthesize_ground_truth(atlas, ft_strings, on_device=True),
+            np.float32,
         )
         if gt_ft.max() > 1.5:
             gt_ft = gt_ft / 255.0
