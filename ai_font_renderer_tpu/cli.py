@@ -350,6 +350,13 @@ def cmd_serve(args) -> int:
     token = getattr(args, "auth_token", None) or os.environ.get(
         "AFR_AUTH_TOKEN"
     )
+    tcp = None
+    if getattr(args, "tcp", None):
+        host, _, port = args.tcp.rpartition(":")
+        if not host or not port.isdigit():
+            print(f"Error: --tcp expects HOST:PORT, got {args.tcp!r}")
+            return 1
+        tcp = (host, int(port))
     server = RenderServer(
         params,
         mcfg,
@@ -357,9 +364,18 @@ def cmd_serve(args) -> int:
         batch_size=args.batch_size,
         int8=getattr(args, "int8", False),
         auth_token=token,
+        tcp=tcp,
+        tls_cert=getattr(args, "tls_cert", None),
+        tls_key=getattr(args, "tls_key", None),
     )
     server.start()
-    print(f"Render server listening on {args.socket} (batch {args.batch_size})")
+    where = (
+        f"{server.address[0]}:{server.address[1]}"
+        + (" (TLS)" if getattr(args, "tls_cert", None) else "")
+        if tcp
+        else args.socket
+    )
+    print(f"Render server listening on {where} (batch {args.batch_size})")
     try:
         while True:
             time.sleep(3600)
@@ -479,6 +495,24 @@ def main(argv: list[str] | None = None) -> int:
             help="require this shared token on every request "
             "(constant-time compare; $AFR_AUTH_TOKEN also works and "
             "keeps the secret out of argv)",
+        )
+        p_srv.add_argument(
+            "--tcp",
+            default=None,
+            metavar="HOST:PORT",
+            help="listen on TCP instead of the unix socket (port 0 = "
+            "ephemeral; plaintext unless --tls-cert/--tls-key are given "
+            "— use TLS + --auth-token beyond loopback)",
+        )
+        p_srv.add_argument(
+            "--tls-cert",
+            default=None,
+            help="PEM certificate chain: serve TLS on the --tcp listener",
+        )
+        p_srv.add_argument(
+            "--tls-key",
+            default=None,
+            help="PEM private key for --tls-cert",
         )
         args = parser.parse_args(argv)
         return {

@@ -21,8 +21,13 @@ Protocol (length-prefixed, stdlib-only):
 Auth: a unix socket is already gated by filesystem permissions; the
 optional shared token (``afr serve --auth-token`` / ``$AFR_AUTH_TOKEN``)
 adds an application-level check (constant-time compare) for sockets
-shared across trust domains. TLS is deliberately out of scope until the
-server speaks TCP (ROADMAP).
+shared across trust domains.
+
+Transports: unix socket (default) or TCP (``afr serve --tcp HOST:PORT``),
+optionally under TLS (``--tls-cert/--tls-key``; stdlib ``ssl``, TLS 1.2+).
+The framing protocol is transport-agnostic — the same length-prefixed
+messages flow over all three. Plaintext TCP is intended for loopback/
+trusted networks; anything routable should use TLS + the auth token.
 
 Run: `afr serve --weights font_renderer.npz --socket /tmp/afr.sock`
 """
@@ -206,6 +211,11 @@ def _recv_msg(sock) -> bytes | None:
 
 
 class RenderServer:
+    """``tcp=(host, port)`` switches the listener from the unix socket to
+    TCP; ``tls_cert``/``tls_key`` (PEM paths) wrap accepted TCP
+    connections in server-side TLS. After ``start()``, ``address`` holds
+    the bound ``(host, port)`` — useful with port 0 (ephemeral)."""
+
     def __init__(
         self,
         params: dict,
@@ -214,15 +224,25 @@ class RenderServer:
         batch_size: int = 64,
         int8: bool = False,
         auth_token: str | None = None,
+        tcp: tuple[str, int] | None = None,
+        tls_cert: str | None = None,
+        tls_key: str | None = None,
     ):
+        if (tls_cert is None) != (tls_key is None):
+            raise ValueError("tls_cert and tls_key must be given together")
+        if tls_cert is not None and tcp is None:
+            raise ValueError("TLS requires the TCP transport (tcp=...)")
         self.socket_path = socket_path
+        self.tcp = tcp
+        self.tls_cert, self.tls_key = tls_cert, tls_key
+        self.address: tuple[str, int] | None = None
         self.batcher = _Batcher(params, mcfg, batch_size, int8=int8)
         self.mcfg = mcfg
         self.auth_token = auth_token
-        self._server: socketserver.ThreadingUnixStreamServer | None = None
+        self._server: socketserver.BaseServer | None = None
 
     def start(self):
-        if os.path.exists(self.socket_path):
+        if self.tcp is None and os.path.exists(self.socket_path):
             os.unlink(self.socket_path)
         self.batcher.start()
         batcher, mcfg = self.batcher, self.mcfg
@@ -234,6 +254,11 @@ class RenderServer:
                 # (connected but unread) client must raise out of sendall
                 # instead of head-of-line-blocking every other reply.
                 self.request.settimeout(30)
+                if hasattr(self.request, "do_handshake"):
+                    try:
+                        self.request.do_handshake()
+                    except OSError:  # includes ssl.SSLError + timeouts
+                        return  # non-TLS/garbage client; drop quietly
                 while True:
                     raw = _recv_msg(self.request)
                     if raw is None:
@@ -282,9 +307,37 @@ class RenderServer:
                     batcher.submit(strings, reply)
                     done.wait(timeout=60)
 
-        self._server = socketserver.ThreadingUnixStreamServer(
-            self.socket_path, Handler
-        )
+        if self.tcp is not None:
+            ctx = None
+            if self.tls_cert is not None:
+                import ssl
+
+                ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+                ctx.minimum_version = ssl.TLSVersion.TLSv1_2
+                ctx.load_cert_chain(self.tls_cert, self.tls_key)
+
+            class TCPServer(socketserver.ThreadingTCPServer):
+                allow_reuse_address = True
+                daemon_threads = True
+
+                def get_request(inner):
+                    # do_handshake_on_connect=False: the handshake runs on
+                    # the handler thread's first read (under its 30 s
+                    # timeout), so a stalled or non-TLS client can never
+                    # block the accept loop.
+                    sock, addr = inner.socket.accept()
+                    if ctx is not None:
+                        sock = ctx.wrap_socket(
+                            sock, server_side=True, do_handshake_on_connect=False
+                        )
+                    return sock, addr
+
+            self._server = TCPServer(self.tcp, Handler)
+            self.address = self._server.server_address[:2]
+        else:
+            self._server = socketserver.ThreadingUnixStreamServer(
+                self.socket_path, Handler
+            )
         self._thread = threading.Thread(
             target=self._server.serve_forever, daemon=True
         )
@@ -295,8 +348,26 @@ class RenderServer:
             self._server.shutdown()
             self._server.server_close()
         self.batcher.stop()
-        if os.path.exists(self.socket_path):
+        if self.tcp is None and os.path.exists(self.socket_path):
             os.unlink(self.socket_path)
+
+
+def _connect(
+    socket_path: str,
+    tcp: tuple[str, int] | None,
+    tls_ca: str | None,
+) -> socket.socket:
+    if tcp is None:
+        s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        s.connect(socket_path)
+        return s
+    s = socket.create_connection(tcp)
+    if tls_ca is not None:
+        import ssl
+
+        ctx = ssl.create_default_context(cafile=tls_ca)
+        s = ctx.wrap_socket(s, server_hostname=tcp[0])
+    return s
 
 
 def request_render(
@@ -304,13 +375,16 @@ def request_render(
     strings: list[str],
     fmt: str = "raw",
     auth_token: str | None = None,
+    tcp: tuple[str, int] | None = None,
+    tls_ca: str | None = None,
 ):
     """Client helper: returns (header dict, [payload bytes per string]).
 
-    Raises PermissionError if the server requires a token and
-    ``auth_token`` is missing or wrong."""
-    with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
-        s.connect(socket_path)
+    ``tcp=(host, port)`` targets a TCP server instead of the unix socket;
+    ``tls_ca`` (PEM path) turns on TLS with certificate verification
+    against that CA (hostname checked). Raises PermissionError if the
+    server requires a token and ``auth_token`` is missing or wrong."""
+    with _connect(socket_path, tcp, tls_ca) as s:
         req = {"strings": strings, "format": fmt}
         if auth_token is not None:
             req["auth"] = auth_token

@@ -172,3 +172,97 @@ def test_auth_token_gates_requests(tmp_path):
         assert len(payloads[0]) == 16 * 48
     finally:
         srv.stop()
+
+
+def test_tcp_roundtrip(tmp_path):
+    """The same framing protocol over plaintext TCP: port 0 binds an
+    ephemeral port (exposed via srv.address) and a loopback client gets
+    byte-identical sheets to the direct render."""
+    params = font_renderer.init(jax.random.PRNGKey(0), MCFG)
+    srv = RenderServer(params, MCFG, batch_size=8, tcp=("127.0.0.1", 0))
+    srv.start()
+    try:
+        from ai_font_renderer_tpu.render.render import render_batch
+
+        assert srv.address[1] != 0
+        header, payloads = request_render(
+            "", ["TCP"], tcp=("127.0.0.1", srv.address[1])
+        )
+        assert header["count"] == 1
+        direct = render_batch(params, ["TCP"], MCFG)
+        got = np.frombuffer(payloads[0], np.uint8).reshape(16, 48) / 255.0
+        want = np.round(np.clip(direct[0], 0, 1) * 255) / 255.0
+        np.testing.assert_allclose(got, want, atol=1 / 255 + 1e-6)
+    finally:
+        srv.stop()
+
+
+@pytest.fixture(scope="module")
+def self_signed_cert(tmp_path_factory):
+    """openssl-generated self-signed cert with loopback SANs (skip if the
+    binary is missing); the cert doubles as the client's trust root."""
+    import shutil
+    import subprocess
+
+    if shutil.which("openssl") is None:  # pragma: no cover
+        pytest.skip("openssl not available for cert generation")
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key, "-out", cert, "-days", "2", "-subj",
+            "/CN=localhost", "-addext",
+            "subjectAltName=DNS:localhost,IP:127.0.0.1",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    return cert, key
+
+
+def test_tls_roundtrip_and_rejects_plaintext(self_signed_cert, tmp_path):
+    """TLS serving end-to-end: a verifying client (cafile = the
+    self-signed cert, hostname checked) renders over the encrypted
+    channel; a plaintext client on the same port gets no reply (the
+    server drops it at the handshake) and auth still composes."""
+    import socket as socket_mod
+    import struct
+
+    cert, key = self_signed_cert
+    params = font_renderer.init(jax.random.PRNGKey(0), MCFG)
+    srv = RenderServer(
+        params,
+        MCFG,
+        batch_size=8,
+        tcp=("127.0.0.1", 0),
+        tls_cert=cert,
+        tls_key=key,
+        auth_token="tls-tok",
+    )
+    srv.start()
+    try:
+        addr = ("127.0.0.1", srv.address[1])
+        header, payloads = request_render(
+            "", ["TLS"], tcp=addr, tls_ca=cert, auth_token="tls-tok"
+        )
+        assert header["count"] == 1
+        assert len(payloads[0]) == 16 * 48
+        with pytest.raises(PermissionError):
+            request_render("", ["TLS"], tcp=addr, tls_ca=cert)
+        # Plaintext framing into the TLS port: server must drop the
+        # connection without replying (never serve unencrypted).
+        with socket_mod.create_connection(addr, timeout=10) as s:
+            payload = b'{"strings": ["X"], "auth": "tls-tok"}'
+            s.sendall(struct.pack(">I", len(payload)) + payload)
+            assert s.recv(4096) == b""
+    finally:
+        srv.stop()
+
+
+def test_tls_requires_tcp_and_pairing():
+    params = font_renderer.init(jax.random.PRNGKey(0), MCFG)
+    with pytest.raises(ValueError, match="together"):
+        RenderServer(params, MCFG, tcp=("127.0.0.1", 0), tls_cert="c.pem")
+    with pytest.raises(ValueError, match="TCP"):
+        RenderServer(params, MCFG, tls_cert="c.pem", tls_key="k.pem")
