@@ -313,6 +313,23 @@ def cmd_render(args) -> int:
         print(f"Saved {len(sheets)} implicit renders to {args.out}/")
         return 0
 
+    if getattr(args, "exported", None):
+        # Self-contained StableHLO artifact (afr export): no weights file,
+        # no ModelConfig — the contract travels in the artifact's avals.
+        from .fontgen.bmp import write_bmp
+        from .utils.export import load_exported, render_exported
+
+        if not os.path.exists(args.exported):
+            print(f"Error: exported artifact not found: {args.exported}")
+            return 1
+        strings = args.strings or TEST_STRINGS
+        sheets = render_exported(load_exported(args.exported), strings)
+        os.makedirs(args.out, exist_ok=True)
+        for i, sheet in enumerate(sheets):
+            write_bmp(os.path.join(args.out, f"string_{i}.bmp"), sheet)
+        print(f"Saved {len(sheets)} exported-artifact renders to {args.out}/")
+        return 0
+
     if not os.path.exists(args.weights):
         print(
             f"Error: weights file not found: {args.weights}\n"
@@ -329,6 +346,32 @@ def cmd_render(args) -> int:
 
         params = quantize_params(params)
     render_strings(params, args.strings or TEST_STRINGS, args.out, mcfg)
+    return 0
+
+
+def cmd_export(args) -> int:
+    """Write a self-contained StableHLO render artifact (utils/export.py)."""
+    from .utils.checkpoint import load_params_with_config
+    from .utils.export import export_render
+
+    if not os.path.exists(args.weights):
+        print(f"Error: weights file not found: {args.weights}")
+        return 1
+    params, mcfg = load_params_with_config(args.weights)
+    if getattr(args, "fast", False):
+        import dataclasses
+
+        mcfg = dataclasses.replace(mcfg, bf16_frontend=True)
+    if getattr(args, "int8", False):
+        from .ops.quantized import quantize_params
+
+        params = quantize_params(params)
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    n = export_render(params, mcfg, args.out, platforms=platforms)
+    print(
+        f"Exported render fn to {args.out} ({n / 1e6:.1f} MB, "
+        f"platforms {','.join(platforms)}, batch dim symbolic)"
+    )
     return 0
 
 
@@ -391,7 +434,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # The reference's bare contract first: no args, or --train (+ our
     # optional overrides). Subcommands are dispatched by their first token.
-    if argv and argv[0] in ("fontgen", "render", "eval", "serve"):
+    if argv and argv[0] in ("fontgen", "render", "eval", "serve", "export"):
         parser = argparse.ArgumentParser(prog="afr")
         sub = parser.add_subparsers(dest="cmd", required=True)
         p_gen = sub.add_parser("fontgen", help="export dataset BMPs + data.txt")
@@ -467,6 +510,38 @@ def main(argv: list[str] | None = None) -> int:
             default=1.0,
             help="output resolution multiplier for --implicit renders",
         )
+        p_ren.add_argument(
+            "--exported",
+            default=None,
+            metavar="ARTIFACT",
+            help="render from a self-contained StableHLO artifact "
+            "(afr export) instead of weights — no checkpoint or model "
+            "config needed",
+        )
+        p_exp = sub.add_parser(
+            "export",
+            help="serialize the render function to a portable StableHLO "
+            "artifact (jax.export: weights baked in, symbolic batch dim)",
+        )
+        p_exp.add_argument("--weights", default="font_renderer.npz")
+        p_exp.add_argument("--out", default="font_renderer.hlo")
+        p_exp.add_argument(
+            "--platforms",
+            default="cpu,tpu",
+            help="comma-separated execution platforms the artifact "
+            "may run on (default cpu,tpu)",
+        )
+        p_exp.add_argument(
+            "--int8",
+            action="store_true",
+            help="bake the int8-quantized projection instead of f32 "
+            "(~4x smaller artifact; serving-grade quality)",
+        )
+        p_exp.add_argument(
+            "--fast",
+            action="store_true",
+            help="bake the bf16-frontend fast profile",
+        )
         p_ev = sub.add_parser("eval", help="val MSE/PSNR of saved weights")
         p_ev.add_argument("--weights", default="font_renderer.npz")
         p_ev.add_argument("--num-samples", type=int, default=150000)
@@ -520,6 +595,7 @@ def main(argv: list[str] | None = None) -> int:
             "render": cmd_render,
             "eval": cmd_eval,
             "serve": cmd_serve,
+            "export": cmd_export,
         }[args.cmd](args)
 
     parser = argparse.ArgumentParser(prog="afr", add_help=True)

@@ -1,0 +1,129 @@
+"""StableHLO deployment artifacts (utils/export.py, `afr export`).
+
+The artifact must be self-contained: executing it needs neither the
+checkpoint nor ModelConfig (contract carried in the avals), and its
+uint8 outputs must match the in-process render path exactly.
+"""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ai_font_renderer_tpu import cli
+from ai_font_renderer_tpu.config import ModelConfig
+from ai_font_renderer_tpu.models import font_renderer
+from ai_font_renderer_tpu.render.render import render_batch
+from ai_font_renderer_tpu.utils.export import (
+    export_render,
+    exported_contract,
+    load_exported,
+    render_exported,
+)
+
+TINY = ModelConfig(
+    embedding_dim=8,
+    num_heads=2,
+    hidden_dim=8,
+    max_length=12,
+    sheet_height=8,
+    sheet_width=16,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return font_renderer.init(jax.random.PRNGKey(0), TINY)
+
+
+def test_roundtrip_matches_render_path(tiny_params, tmp_path):
+    path = str(tmp_path / "tiny.hlo")
+    n = export_render(tiny_params, TINY, path, platforms=("cpu",))
+    assert n == os.path.getsize(path) and n > 0
+    exported = load_exported(path)
+    assert exported_contract(exported) == (12, 8, 16)
+    strings = ["HELLO", "AB", ""]
+    got = render_exported(exported, strings)
+    want = render_batch(tiny_params, strings, TINY)
+    # The artifact quantizes on the u8 grid (the serving wire format).
+    np.testing.assert_array_equal(
+        np.round(got * 255), np.round(np.clip(want, 0, 1) * 255)
+    )
+
+
+def test_symbolic_batch_dim(tiny_params, tmp_path):
+    """One artifact serves any batch size (b is symbolic, not baked)."""
+    path = str(tmp_path / "tiny.hlo")
+    export_render(tiny_params, TINY, path, platforms=("cpu",))
+    exported = load_exported(path)
+    for n in (1, 4, 7):
+        assert render_exported(exported, ["X"] * n).shape == (n, 8, 16)
+
+
+def test_int8_params_export(tiny_params, tmp_path):
+    """The quantized serving bundle exports too, and is smaller."""
+    from ai_font_renderer_tpu.ops.quantized import quantize_params
+
+    f32_path = str(tmp_path / "f32.hlo")
+    i8_path = str(tmp_path / "i8.hlo")
+    n_f32 = export_render(tiny_params, TINY, f32_path, platforms=("cpu",))
+    qparams = quantize_params(tiny_params)
+    n_i8 = export_render(qparams, TINY, i8_path, platforms=("cpu",))
+    assert n_i8 < n_f32
+    got = render_exported(load_exported(i8_path), ["HELLO"])
+    from ai_font_renderer_tpu.ops.quantized import apply_quantized_int8
+    from ai_font_renderer_tpu.fontgen.layout import encode_codes
+
+    import jax.numpy as jnp
+
+    codes = jnp.asarray(encode_codes(["HELLO"], TINY.max_length))
+    want = np.asarray(apply_quantized_int8(qparams, codes, TINY))
+    np.testing.assert_array_equal(
+        np.round(got * 255), np.round(np.clip(want, 0, 1) * 255)
+    )
+
+
+def test_cli_export_then_render(tiny_params, tmp_path):
+    """`afr export` then `afr render --exported` — no weights needed for
+    the render step (the artifact is the whole deployment)."""
+    from ai_font_renderer_tpu.utils.checkpoint import save_params
+
+    weights = str(tmp_path / "w.npz")
+    save_params(tiny_params, weights, mcfg=TINY)
+    artifact = str(tmp_path / "w.hlo")
+    rc = cli.main(
+        [
+            "export",
+            "--weights",
+            weights,
+            "--out",
+            artifact,
+            "--platforms",
+            "cpu",
+        ]
+    )
+    assert rc == 0 and os.path.exists(artifact)
+    out = str(tmp_path / "renders")
+    rc = cli.main(["render", "HI", "--exported", artifact, "--out", out])
+    assert rc == 0
+    bmp = os.path.join(out, "string_0.bmp")
+    assert os.path.exists(bmp)
+    from ai_font_renderer_tpu.fontgen.bmp import read_bmp
+
+    assert read_bmp(bmp).shape == (8, 16)
+
+
+def test_cli_export_missing_weights(tmp_path):
+    rc = cli.main(
+        ["export", "--weights", str(tmp_path / "nope.npz"), "--out", "x.hlo"]
+    )
+    assert rc == 1
+
+
+def test_cli_render_missing_artifact(tmp_path):
+    rc = cli.main(
+        ["render", "HI", "--exported", str(tmp_path / "nope.hlo"),
+         "--out", str(tmp_path / "o")]
+    )
+    assert rc == 1
