@@ -114,6 +114,64 @@ def test_cli_export_then_render(tiny_params, tmp_path):
     assert read_bmp(bmp).shape == (8, 16)
 
 
+def test_conv_ps_decoder_exports(tmp_path):
+    """Exports dispatch on the checkpoint format: a conv_ps decoder
+    (no out_w; dec_w* pyramid) serializes and matches its render path."""
+    cfg = ModelConfig(decoder="conv_ps")
+    params = font_renderer.init(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "convps.hlo")
+    export_render(params, cfg, path, platforms=("cpu",))
+    exported = load_exported(path)
+    assert exported_contract(exported) == (100, 80, 240)
+    got = render_exported(exported, ["CONV PS"])
+    want = render_batch(params, ["CONV PS"], cfg)
+    np.testing.assert_array_equal(
+        np.round(got * 255), np.round(np.clip(want, 0, 1) * 255)
+    )
+
+
+def test_standalone_runner_needs_no_framework(tiny_params, tmp_path):
+    """tools/run_exported_standalone.py renders from the artifact in a
+    subprocess where ai_font_renderer_tpu is NOT importable — the
+    deployment contract is the artifact plus jax, nothing else."""
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "tiny.hlo")
+    export_render(tiny_params, TINY, path, platforms=("cpu",))
+    tool = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "run_exported_standalone.py",
+    )
+    # Minimal env: no PYTHONPATH (drops both the repo and the axon
+    # sitecustomize), cwd away from the repo so the package can't be
+    # found implicitly.
+    env = {
+        "PATH": os.environ.get("PATH", ""),
+        "HOME": os.environ.get("HOME", "/root"),
+        "JAX_PLATFORMS": "cpu",
+    }
+    probe = subprocess.run(
+        [sys.executable, "-c", "import ai_font_renderer_tpu"],
+        env=env, cwd=str(tmp_path), capture_output=True,
+    )
+    assert probe.returncode != 0, "package must be masked for this test"
+    out_dir = str(tmp_path / "standalone")
+    res = subprocess.run(
+        [sys.executable, tool, path, out_dir, "HI", "YO"],
+        env=env, cwd=str(tmp_path), capture_output=True, text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    from ai_font_renderer_tpu.fontgen.bmp import read_bmp
+
+    for i, s in enumerate(["HI", "YO"]):
+        sheet = read_bmp(os.path.join(out_dir, f"string_{i}.bmp"))
+        assert sheet.shape == (8, 16)
+        want = render_exported(load_exported(path), [s])[0]
+        np.testing.assert_allclose(sheet, want, atol=1 / 255 + 1e-6)
+
+
 def test_cli_export_missing_weights(tmp_path):
     rc = cli.main(
         ["export", "--weights", str(tmp_path / "nope.npz"), "--out", "x.hlo"]
