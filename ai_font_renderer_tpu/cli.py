@@ -354,6 +354,34 @@ def cmd_export(args) -> int:
     from .utils.checkpoint import load_params_with_config
     from .utils.export import export_render
 
+    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
+    if getattr(args, "placement", None):
+        # Fully neural pipeline: placement transformer + SIREN bank +
+        # composition, one artifact, same contract as the flagship export.
+        from .utils.checkpoint import load_siren
+        from .utils.export import export_neural_render
+
+        if not getattr(args, "implicit", None):
+            print("Error: --placement export requires --implicit SIREN_NPZ")
+            return 1
+        for p in (args.placement, args.implicit):
+            if not os.path.exists(p):
+                print(f"Error: weights file not found: {p}")
+                return 1
+        pp, pcfg = load_params_with_config(args.placement)
+        sp, scfg, charset = load_siren(args.implicit)
+        n = export_neural_render(
+            pp, pcfg, sp, scfg, charset, args.font, args.out,
+            platforms=platforms, scale=args.scale,
+            hard=getattr(args, "hard_placement", False),
+            monotone=getattr(args, "monotone_placement", False),
+        )
+        print(
+            f"Exported neural render fn to {args.out} ({n / 1e6:.1f} MB, "
+            f"platforms {','.join(platforms)}, batch dim symbolic)"
+        )
+        return 0
+
     if not os.path.exists(args.weights):
         print(f"Error: weights file not found: {args.weights}")
         return 1
@@ -366,7 +394,6 @@ def cmd_export(args) -> int:
         from .ops.quantized import quantize_params
 
         params = quantize_params(params)
-    platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
     n = export_render(params, mcfg, args.out, platforms=platforms)
     print(
         f"Exported render fn to {args.out} ({n / 1e6:.1f} MB, "
@@ -541,6 +568,45 @@ def main(argv: list[str] | None = None) -> int:
             "--fast",
             action="store_true",
             help="bake the bf16-frontend fast profile",
+        )
+        p_exp.add_argument(
+            "--implicit",
+            metavar="SIREN_NPZ",
+            default=None,
+            help="with --placement: the SIREN glyph bank to bake into a "
+            "fully neural artifact",
+        )
+        p_exp.add_argument(
+            "--placement",
+            metavar="PLACEMENT_NPZ",
+            default=None,
+            help="export the fully neural pipeline instead of the "
+            "flagship: placement transformer + --implicit SIREN bank + "
+            "composition, one artifact, same codes->uint8 contract "
+            "(tools/run_exported_standalone.py runs it unchanged)",
+        )
+        p_exp.add_argument(
+            "--font",
+            default=FIRACODE_PATH,
+            help="font consulted at export time for the static cell "
+            "geometry of --placement artifacts (never shipped inside)",
+        )
+        p_exp.add_argument(
+            "--scale",
+            type=float,
+            default=1.0,
+            help="output resolution multiplier baked into a --placement "
+            "artifact (the implicit family renders at any scale)",
+        )
+        p_exp.add_argument(
+            "--hard-placement",
+            action="store_true",
+            help="bake the discrete placement decode (argmax line)",
+        )
+        p_exp.add_argument(
+            "--monotone-placement",
+            action="store_true",
+            help="bake the Viterbi monotone-break placement decode",
         )
         p_ev = sub.add_parser("eval", help="val MSE/PSNR of saved weights")
         p_ev.add_argument("--weights", default="font_renderer.npz")

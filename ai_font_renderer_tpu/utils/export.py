@@ -59,6 +59,79 @@ def export_render(
     return len(data)
 
 
+def export_neural_render(
+    placement_params: dict,
+    pcfg: ModelConfig,
+    siren_params: dict,
+    scfg,
+    charset: str,
+    font_path: str,
+    path: str,
+    platforms: tuple[str, ...] = DEFAULT_PLATFORMS,
+    scale: float = 1.0,
+    hard: bool = False,
+    monotone: bool = False,
+) -> int:
+    """Serialize the FULLY NEURAL render pipeline to one artifact.
+
+    Placement transformer (chars -> positions, models/placement.py) +
+    SIREN glyph bank (coords -> coverage, models/siren.py) + the
+    differentiable composition (render/implicit_sheet.compose), fused
+    into a single ``codes int32[b, max_length] -> uint8[b, H, W]``
+    function with a symbolic batch dim — the SAME contract as
+    :func:`export_render`, so ``afr render --exported`` and
+    tools/run_exported_standalone.py execute either model family
+    unchanged. The font file is consulted only here, for the static cell
+    geometry; the artifact contains no layout engine, no font, and no
+    framework code. ``scale`` bakes an output resolution (the implicit
+    family renders at any scale); ``hard``/``monotone`` bake the
+    discrete placement decodes.
+    """
+    from ..config import SheetSpec
+    from ..fontgen.ttf import TrueTypeFont
+    from ..models import placement
+    from ..render.implicit_sheet import (
+        build_layout,
+        compose,
+        origins_from_midpoints,
+    )
+
+    spec = SheetSpec()
+    font = TrueTypeFont.load(font_path)
+    lay = build_layout(
+        font, spec, scfg.cell, scale=scale, max_glyphs=pcfg.max_length
+    )
+    # charset index per ASCII code (-1 = places no glyph), as a baked
+    # constant — the artifact needs no charset knowledge at run time.
+    lut = np.full(128, -1, np.int32)
+    for i, c in enumerate(charset):
+        if ord(c) < 128:
+            lut[ord(c)] = i
+    lut_j = jnp.asarray(lut)
+    space = ord(" ")
+
+    def fn(codes):
+        mids, logits = placement.apply(
+            placement_params, codes, pcfg, train=False,
+            hard=hard, monotone=monotone,
+        )
+        origins = origins_from_midpoints(mids, lay)
+        ci = lut_j[jnp.clip(codes, 0, 127)]
+        valid = (ci >= 0) & (codes != space) & (jax.nn.sigmoid(logits) > 0.5)
+        sheets = compose(
+            siren_params, jnp.maximum(ci, 0), origins, valid, scfg, lay
+        )
+        return jnp.round(sheets * 255.0).astype(jnp.uint8)
+
+    (b,) = jax_export.symbolic_shape("b")
+    spec_in = jax.ShapeDtypeStruct((b, pcfg.max_length), jnp.int32)
+    exported = jax_export.export(jax.jit(fn), platforms=list(platforms))(spec_in)
+    data = exported.serialize()
+    with open(path, "wb") as f:
+        f.write(data)
+    return len(data)
+
+
 def load_exported(path: str):
     """Deserialize an artifact written by :func:`export_render`."""
     with open(path, "rb") as f:

@@ -172,6 +172,89 @@ def test_standalone_runner_needs_no_framework(tiny_params, tmp_path):
         np.testing.assert_allclose(sheet, want, atol=1 / 255 + 1e-6)
 
 
+CHARSET = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+
+def _tiny_neural(lines=0):
+    from ai_font_renderer_tpu.models import placement, siren
+
+    scfg = siren.SirenConfig(
+        n_chars=len(CHARSET), cell=16, embed_dim=8, hidden_dim=16, n_layers=2
+    )
+    sp = siren.init(jax.random.PRNGKey(2), scfg)
+    pp = placement.init(jax.random.PRNGKey(3), TINY, lines=lines)
+    return pp, sp, scfg
+
+
+def test_neural_export_matches_learned_render(tmp_path):
+    """The fully neural pipeline (placement + SIREN + composition)
+    exports to the SAME artifact contract and matches
+    render_learned_sheets exactly on the u8 grid."""
+    from ai_font_renderer_tpu.config import FIRACODE_PATH
+    from ai_font_renderer_tpu.render.implicit_sheet import render_learned_sheets
+    from ai_font_renderer_tpu.utils.export import export_neural_render
+
+    pp, sp, scfg = _tiny_neural()
+    path = str(tmp_path / "neural.hlo")
+    n = export_neural_render(
+        pp, TINY, sp, scfg, CHARSET, FIRACODE_PATH, path, platforms=("cpu",)
+    )
+    assert n == os.path.getsize(path) and n > 0
+    exported = load_exported(path)
+    # Output geometry is the SheetSpec sheet, not the flagship head's.
+    assert exported_contract(exported) == (TINY.max_length, 80, 240)
+    strings = ["HELLO", "AB A", ""]
+    got = render_exported(exported, strings)
+    want = render_learned_sheets(
+        sp, pp, strings, FIRACODE_PATH, scfg, TINY, charset=CHARSET
+    )
+    np.testing.assert_array_equal(
+        np.round(got * 255), np.round(np.clip(want, 0, 1) * 255)
+    )
+    # Symbolic batch: the same artifact serves other batch sizes.
+    assert render_exported(exported, ["X"] * 5).shape == (5, 80, 240)
+
+
+def test_neural_export_cli_with_monotone_decode(tmp_path):
+    """`afr export --placement --implicit --monotone-placement` bakes the
+    line head's Viterbi decode; `afr render --exported` runs it."""
+    from ai_font_renderer_tpu.config import FIRACODE_PATH
+    from ai_font_renderer_tpu.fontgen.bmp import read_bmp
+    from ai_font_renderer_tpu.render.implicit_sheet import render_learned_sheets
+    from ai_font_renderer_tpu.utils.checkpoint import save_params, save_siren
+
+    pp, sp, scfg = _tiny_neural(lines=4)
+    pnpz = str(tmp_path / "place.npz")
+    snpz = str(tmp_path / "bank.npz")
+    save_params(pp, pnpz, mcfg=TINY)
+    save_siren(sp, scfg, CHARSET, snpz)
+    artifact = str(tmp_path / "neural.hlo")
+    rc = cli.main(
+        [
+            "export", "--placement", pnpz, "--implicit", snpz,
+            "--font", FIRACODE_PATH, "--out", artifact,
+            "--platforms", "cpu", "--monotone-placement",
+        ]
+    )
+    assert rc == 0 and os.path.exists(artifact)
+    out = str(tmp_path / "renders")
+    rc = cli.main(["render", "HI WORLD", "--exported", artifact, "--out", out])
+    assert rc == 0
+    got = read_bmp(os.path.join(out, "string_0.bmp")).astype(np.float32)
+    want = render_learned_sheets(
+        sp, pp, ["HI WORLD"], FIRACODE_PATH, scfg, TINY,
+        charset=CHARSET, monotone=True,
+    )[0]
+    np.testing.assert_allclose(got, want, atol=1 / 255 + 1e-6)
+
+
+def test_neural_export_requires_bank(tmp_path):
+    rc = cli.main(
+        ["export", "--placement", str(tmp_path / "p.npz"), "--out", "x.hlo"]
+    )
+    assert rc == 1
+
+
 def test_cli_export_missing_weights(tmp_path):
     rc = cli.main(
         ["export", "--weights", str(tmp_path / "nope.npz"), "--out", "x.hlo"]
