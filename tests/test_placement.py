@@ -746,3 +746,86 @@ def test_uncertainty_weighted_loss():
 
     p_reg_fixed = {k: v for k, v in p_reg.items() if k != "loss_logvar"}
     assert float(loss_reg(p_reg)) == float(loss_reg(p_reg_fixed))
+
+
+class TestFinetuneResume:
+    """tools/train_placement.py --ft-checkpoint-every / --ft-resume: an
+    interrupted pixel fine-tune resumed from its checkpoint must reproduce
+    the uninterrupted run bit-exactly (the batch schedule and LR schedule
+    are pure functions of the step index)."""
+
+    @staticmethod
+    def _run(tmp_path, out_name, extra):
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo
+        env["JAX_PLATFORMS"] = "cpu"
+        cmd = [
+            sys.executable,
+            os.path.join(repo, "tools", "train_placement.py"),
+            "--font", "firacode", "--samples", "120", "--epochs", "0",
+            "--init-from", str(tmp_path / "seed.npz"),
+            "--siren-from", str(tmp_path / "bank.npz"),
+            "--finetune-samples", "64",
+            "--out", str(tmp_path / out_name),
+        ] + extra
+        res = subprocess.run(
+            cmd, env=env, cwd=repo, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert res.returncode == 0, res.stderr[-3000:]
+        return res.stdout
+
+    def test_resume_reproduces_uninterrupted_run(self, tmp_path):
+        from ai_font_renderer_tpu.config import PRINTABLE_ASCII
+        from ai_font_renderer_tpu.models import siren
+        from ai_font_renderer_tpu.utils.checkpoint import (
+            save_params,
+            save_siren,
+        )
+
+        cfg = ModelConfig()
+        seed = placement.init(jax.random.PRNGKey(0), cfg, lines=5)
+        save_params(seed, str(tmp_path / "seed.npz"), mcfg=cfg)
+        scfg = siren.SirenConfig(
+            n_chars=len(PRINTABLE_ASCII), cell=16, embed_dim=8,
+            hidden_dim=16, n_layers=2,
+        )
+        save_siren(
+            siren.init(jax.random.PRNGKey(1), scfg), scfg, PRINTABLE_ASCII,
+            str(tmp_path / "bank.npz"),
+        )
+
+        base = ["--line-head", "5"]
+        # Straight run: 8 steps, no checkpointing.
+        self._run(
+            tmp_path, "straight",
+            base + ["--finetune-steps", "8", "--ft-checkpoint-every", "0"],
+        )
+        # Interrupted run: completes only 6 steps but checkpointed at 4...
+        self._run(
+            tmp_path, "resumed",
+            base + ["--finetune-steps", "6", "--ft-checkpoint-every", "4"],
+        )
+        # ...then resumes AT STEP 4 (the latest checkpoint) and replays
+        # 5..8 — the same trajectory the straight run took.
+        out = self._run(
+            tmp_path, "resumed",
+            base + [
+                "--finetune-steps", "8", "--ft-checkpoint-every", "4",
+                "--ft-resume",
+            ],
+        )
+        assert "fine-tune resumed at step 4" in out
+
+        a = np.load(tmp_path / "straight" / "placement_finetuned.npz")
+        b = np.load(tmp_path / "resumed" / "placement_finetuned.npz")
+        assert set(a.files) == set(b.files)
+        for k in a.files:
+            if k == "__config__":
+                continue
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)

@@ -209,6 +209,24 @@ def main() -> None:
         "fine-tune continuations exact: a --finetune-joint run must "
         "resume the TUNED bank, not a fresh same-seed retrain",
     )
+    ap.add_argument(
+        "--ft-checkpoint-every",
+        type=int,
+        default=2000,
+        metavar="N",
+        help="checkpoint the fine-tune (tunable + Adam state + step) to "
+        "<out>/ft_ckpt every N steps (0 = off). The multi-hour pixel "
+        "fine-tunes are the longest unprotected stretch in the repo — a "
+        "restart once cost the whole 21000-step chain (RESULTS.md "
+        "queue 20)",
+    )
+    ap.add_argument(
+        "--ft-resume",
+        action="store_true",
+        help="resume the fine-tune from <out>/ft_ckpt's latest step. The "
+        "batch schedule is a deterministic function of the step index, so "
+        "a resumed run replays the exact uninterrupted trajectory",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--e2e-steps", type=int, default=3000)
     ap.add_argument("--no-e2e", action="store_true")
@@ -562,7 +580,27 @@ def main() -> None:
 
         bs = 64
         first_px = last_px = None
-        for s in range(args.finetune_steps):
+        start_step = 0
+        ft_mgr = None
+        if args.ft_checkpoint_every > 0 or args.ft_resume:
+            from ai_font_renderer_tpu.utils.checkpoint import CheckpointManager
+
+            ft_mgr = CheckpointManager(os.path.join(out_dir, "ft_ckpt"), keep=2)
+        if args.ft_resume and ft_mgr is not None and ft_mgr.latest_step():
+            # The schedule (cosine or const) and the batch slices are pure
+            # functions of the step index, so restoring (tunable, Adam
+            # state) at step k replays the uninterrupted run exactly.
+            start_step, (tunable, ft_state), host = ft_mgr.restore(
+                template=(tunable, ft_state)
+            )
+            if host.get("joint", False) != args.finetune_joint:
+                raise SystemExit(
+                    "ft_ckpt was written with a different --finetune-joint "
+                    "setting; refusing to resume across head structures"
+                )
+            first_px = host.get("first_px")
+            print(f"fine-tune resumed at step {start_step}", flush=True)
+        for s in range(start_step, args.finetune_steps):
             lo = (s * bs) % ft_n
             sl = slice(lo, lo + bs)
             tunable, ft_state, px_loss = ft_step(
@@ -579,6 +617,17 @@ def main() -> None:
                         {"finetune_step": s + 1, "pixel_mse": last_px}
                     )
                     + "\n"
+                )
+            if (
+                ft_mgr is not None
+                and args.ft_checkpoint_every > 0
+                and (s + 1) % args.ft_checkpoint_every == 0
+                and (s + 1) < args.finetune_steps
+            ):
+                ft_mgr.save(
+                    s + 1,
+                    (tunable, ft_state),
+                    {"joint": args.finetune_joint, "first_px": first_px},
                 )
         if args.finetune_joint:
             params, sp_tuned = tunable
