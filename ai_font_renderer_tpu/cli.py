@@ -407,16 +407,48 @@ def cmd_serve(args) -> int:
     import time
 
     from .render.server import RenderServer
-    from .utils.checkpoint import load_params_with_config
 
-    if not os.path.exists(args.weights):
-        print(f"Error: weights file not found: {args.weights}")
-        return 1
-    params, mcfg = load_params_with_config(args.weights)
-    if getattr(args, "fast", False):
+    render_fn = None
+    if getattr(args, "exported", None):
+        # Artifact-first deployment: serve a self-contained StableHLO
+        # file (afr export) — no checkpoint, no model code; the wire
+        # contract (max_length, sheet dims) travels in the avals.
         import dataclasses
 
-        mcfg = dataclasses.replace(mcfg, bf16_frontend=True)
+        import jax.numpy as jnp
+
+        from .fontgen.layout import encode_codes
+        from .utils.export import exported_contract, load_exported
+
+        if not os.path.exists(args.exported):
+            print(f"Error: exported artifact not found: {args.exported}")
+            return 1
+        exported = load_exported(args.exported)
+        max_length, height, width = exported_contract(exported)
+        params = None
+        mcfg = dataclasses.replace(
+            ModelConfig(),
+            max_length=max_length,
+            sheet_height=height,
+            sheet_width=width,
+        )
+
+        def render_fn(strings):
+            return exported.call(
+                jnp.asarray(encode_codes(strings, max_length))
+            )
+
+    else:
+        from .utils.checkpoint import load_params_with_config
+
+        if not os.path.exists(args.weights):
+            print(f"Error: weights file not found: {args.weights}")
+            return 1
+        params, mcfg = load_params_with_config(args.weights)
+        if getattr(args, "fast", False):
+            import dataclasses
+
+            mcfg = dataclasses.replace(mcfg, bf16_frontend=True)
     token = getattr(args, "auth_token", None) or os.environ.get(
         "AFR_AUTH_TOKEN"
     )
@@ -437,6 +469,7 @@ def cmd_serve(args) -> int:
         tcp=tcp,
         tls_cert=getattr(args, "tls_cert", None),
         tls_key=getattr(args, "tls_key", None),
+        render_fn=render_fn,
     )
     server.start()
     where = (
@@ -616,6 +649,15 @@ def main(argv: list[str] | None = None) -> int:
             "serve", help="batched render server on a unix socket"
         )
         p_srv.add_argument("--weights", default="font_renderer.npz")
+        p_srv.add_argument(
+            "--exported",
+            default=None,
+            metavar="ARTIFACT",
+            help="serve a self-contained StableHLO artifact (afr export) "
+            "instead of weights — no checkpoint or model config needed; "
+            "works for both the flagship and the fully neural "
+            "--placement artifacts (same codes->uint8 contract)",
+        )
         p_srv.add_argument("--socket", default="/tmp/afr.sock")
         p_srv.add_argument("--batch-size", type=int, default=64)
         p_srv.add_argument(

@@ -80,15 +80,29 @@ class _Batcher:
     _WINDOW = 2  # fetch once more than this many chunks are in flight
 
     def __init__(
-        self, params, mcfg: ModelConfig, batch_size: int = 64, int8: bool = False
+        self,
+        params,
+        mcfg: ModelConfig,
+        batch_size: int = 64,
+        int8: bool = False,
+        render_fn=None,
     ):
-        from . import render  # local import: jax only when serving
+        if render_fn is not None:
+            # Pluggable backend: strings -> uint8 device array [n, H, W].
+            # Used to serve a self-contained StableHLO artifact (afr serve
+            # --exported) — the server then needs no weights and no model
+            # code, only the artifact.
+            self._render = render_fn
+        else:
+            from . import render  # local import: jax only when serving
 
-        self._render_u8 = render.render_batch_u8_async
-        if int8 and "out_w_q" not in params:
-            from ..ops.quantized import quantize_params
+            if int8 and "out_w_q" not in params:
+                from ..ops.quantized import quantize_params
 
-            params = quantize_params(params)
+                params = quantize_params(params)
+            self._render = lambda strings: render.render_batch_u8_async(
+                params, strings, mcfg
+            )
         self.params = params
         self.mcfg = mcfg
         self.batch_size = batch_size
@@ -100,7 +114,7 @@ class _Batcher:
 
     def start(self):
         # Warm the compiled shape once so first clients don't pay compile.
-        np.asarray(self._render_u8(self.params, [""] * self.batch_size, self.mcfg))
+        np.asarray(self._render([""] * self.batch_size))
         self.thread.start()
         self._reply_thread.start()
 
@@ -160,7 +174,7 @@ class _Batcher:
             if req.cursor == len(req.strings):
                 reqs.pop(0)
         padded = chunk + [""] * (self.batch_size - len(chunk))
-        return segs, self._render_u8(self.params, padded, self.mcfg)
+        return segs, self._render(padded)
 
     def _fetch_chunk(self, inflight: list):
         """Fetch the oldest in-flight chunk; stream any completed replies."""
@@ -214,11 +228,17 @@ class RenderServer:
     """``tcp=(host, port)`` switches the listener from the unix socket to
     TCP; ``tls_cert``/``tls_key`` (PEM paths) wrap accepted TCP
     connections in server-side TLS. After ``start()``, ``address`` holds
-    the bound ``(host, port)`` — useful with port 0 (ephemeral)."""
+    the bound ``(host, port)`` — useful with port 0 (ephemeral).
+
+    ``render_fn`` (strings -> uint8 device array [n, H, W]) replaces the
+    weights-based backend entirely: ``params`` may be None and ``mcfg``
+    only supplies the wire-format sheet dims. This is how ``afr serve
+    --exported`` serves a StableHLO artifact with no checkpoint and no
+    model code."""
 
     def __init__(
         self,
-        params: dict,
+        params: dict | None,
         mcfg: ModelConfig = ModelConfig(),
         socket_path: str = "/tmp/afr.sock",
         batch_size: int = 64,
@@ -227,6 +247,7 @@ class RenderServer:
         tcp: tuple[str, int] | None = None,
         tls_cert: str | None = None,
         tls_key: str | None = None,
+        render_fn=None,
     ):
         if (tls_cert is None) != (tls_key is None):
             raise ValueError("tls_cert and tls_key must be given together")
@@ -236,7 +257,9 @@ class RenderServer:
         self.tcp = tcp
         self.tls_cert, self.tls_key = tls_cert, tls_key
         self.address: tuple[str, int] | None = None
-        self.batcher = _Batcher(params, mcfg, batch_size, int8=int8)
+        self.batcher = _Batcher(
+            params, mcfg, batch_size, int8=int8, render_fn=render_fn
+        )
         self.mcfg = mcfg
         self.auth_token = auth_token
         self._server: socketserver.BaseServer | None = None

@@ -260,6 +260,59 @@ def test_tls_roundtrip_and_rejects_plaintext(self_signed_cert, tmp_path):
         srv.stop()
 
 
+def test_serve_from_exported_artifact(tmp_path):
+    """Artifact-first serving (afr serve --exported): a StableHLO export
+    plugged in as the batcher's render_fn — params=None, no model code —
+    serves sheets byte-identical to the weights-based server's
+    quantization grid. Mirrors cmd_serve's wiring (cli.py)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ai_font_renderer_tpu.fontgen.layout import encode_codes
+    from ai_font_renderer_tpu.render.render import render_batch
+    from ai_font_renderer_tpu.utils.export import (
+        export_render,
+        exported_contract,
+        load_exported,
+    )
+
+    params = font_renderer.init(jax.random.PRNGKey(0), MCFG)
+    path = str(tmp_path / "renderer.hlo")
+    export_render(params, MCFG, path, platforms=("cpu",))
+    exported = load_exported(path)
+    max_length, height, width = exported_contract(exported)
+    assert (max_length, height, width) == (16, 16, 48)
+    mcfg = dataclasses.replace(
+        ModelConfig(),
+        max_length=max_length,
+        sheet_height=height,
+        sheet_width=width,
+    )
+    sock = str(tmp_path / "afrexp.sock")
+    srv = RenderServer(
+        None,
+        mcfg,
+        socket_path=sock,
+        batch_size=8,
+        render_fn=lambda strings: exported.call(
+            jnp.asarray(encode_codes(strings, max_length))
+        ),
+    )
+    srv.start()
+    try:
+        strings = ["HELLO", "ARTIFACT", ""]
+        header, payloads = request_render(sock, strings)
+        assert header["count"] == 3
+        direct = render_batch(params, strings, MCFG)
+        for i, p in enumerate(payloads):
+            got = np.frombuffer(p, np.uint8).reshape(16, 48) / 255.0
+            want = np.round(np.clip(direct[i], 0, 1) * 255) / 255.0
+            np.testing.assert_allclose(got, want, atol=1 / 255 + 1e-6)
+    finally:
+        srv.stop()
+
+
 def test_tls_requires_tcp_and_pairing():
     params = font_renderer.init(jax.random.PRNGKey(0), MCFG)
     with pytest.raises(ValueError, match="together"):
