@@ -7,14 +7,22 @@ FiraCode is ligature-heavy — and implements its programming ligatures
 `calt` chained-context (type 6) rule cascades over spacer glyphs, so real
 shaping needs the contextual machinery, not just ligature matching.
 
-This module implements the GSUB lookup types those fonts actually use:
+This module implements every GSUB substitution lookup type:
 
   * type 1 (single substitution, formats 1/2)
   * type 2 (multiple substitution, format 1)
+  * type 3 (alternate substitution; first alternate, HarfBuzz's default
+    when no alternate index is selected)
   * type 4 (ligature substitution, format 1)
+  * type 5 (contextual substitution, formats 1/2/3 — lowered onto the
+    chain matchers with empty backtrack/lookahead)
   * type 6 (chained contextual substitution, formats 1/2/3) with nested
     SubstLookupRecord application, HarfBuzz-style position tracking
   * type 7 (extension) indirection
+  * type 8 (reverse chaining single substitution, back-to-front)
+
+The bundled fonts exercise 1/2/4/6/7; types 3/5/8 are covered by
+synthetic-table tests (test_shaping.py) for fonts that need them.
 
 Feature selection mirrors HarfBuzz's defaults for a plain horizontal run:
 ccmp/locl/rclt/rlig/calt/liga/clig of the default script's default LangSys

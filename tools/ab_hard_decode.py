@@ -67,7 +67,12 @@ def main() -> None:
                 gt = gt / 255.0
             gt_cache[font] = gt
         gt = gt_cache[font]
-        sp, scfg, charset = load_siren(os.path.join(run_dir, "siren.npz"))
+        # Joint fine-tune runs (--finetune-joint) tune the bank too; the
+        # run's own e2e eval used the tuned bank, so prefer it.
+        bank = os.path.join(run_dir, "siren_finetuned.npz")
+        if not os.path.exists(bank):
+            bank = os.path.join(run_dir, "siren.npz")
+        sp, scfg, charset = load_siren(bank)
         for name in ("placement.npz", "placement_finetuned.npz"):
             path = os.path.join(run_dir, name)
             if not os.path.exists(path):
