@@ -179,6 +179,17 @@ def main() -> None:
         "convergence)",
     )
     ap.add_argument(
+        "--finetune-lr",
+        type=float,
+        default=1e-4,
+        metavar="LR",
+        help="fine-tune LR (const) or cosine peak. The 1e-4 default is "
+        "the round-3 baseline; warm-restart continuations from an "
+        "already-annealed checkpoint should restart at a lower peak "
+        "(a full-height restart re-injects the noise the first anneal "
+        "just removed)",
+    )
+    ap.add_argument(
         "--finetune-joint",
         action="store_true",
         help="pixel fine-tune the SIREN bank JOINTLY with the placement "
@@ -565,9 +576,11 @@ def main() -> None:
             return jnp.mean((sheets - gt) ** 2)
 
         if args.finetune_schedule == "cosine":
-            ft_lr = optax.cosine_decay_schedule(1e-4, args.finetune_steps)
+            ft_lr = optax.cosine_decay_schedule(
+                args.finetune_lr, args.finetune_steps
+            )
         else:
-            ft_lr = 1e-4
+            ft_lr = args.finetune_lr
         ft_opt = optax.adam(ft_lr)
         tunable = (params, sp) if args.finetune_joint else params
         ft_state = ft_opt.init(tunable)
