@@ -1,0 +1,98 @@
+"""Quality lock on the committed standing-best artifacts.
+
+`artifacts/` carries the learned-placement campaign's measured-best
+checkpoints (placement transformer + jointly-tuned SIREN bank per font)
+and the fully-neural StableHLO deployment artifacts built from them
+(artifacts/MANIFEST.md). These tests regression-bound the *end-product
+quality* of those exact files — the lock VERDICT r3 flagged as missing:
+a silent decode-path regression in implicit_sheet.py / placement.py
+would previously ship undetected because every checkpoint was gitignored.
+
+Bounds are ~1.4x the measured bests (FiraCode 0.00787, Montserrat
+0.00916 e2e MSE over the 15 adversarial TEST_STRINGS, RESULTS.md): loose
+enough for platform numerics (these run on CPU; the numbers were
+measured on TPU), tight enough that a real regression — a decode change,
+a composition bug, a checkpoint-loading drift — trips them.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from ai_font_renderer_tpu.cli import TEST_STRINGS
+from ai_font_renderer_tpu.config import FIRACODE_PATH, MONTSERRAT_PATH
+from ai_font_renderer_tpu.fontgen.dataset import synthesize_ground_truth
+from ai_font_renderer_tpu.render.implicit_sheet import render_learned_sheets
+from ai_font_renderer_tpu.utils.checkpoint import (
+    load_params_with_config,
+    load_siren,
+)
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+CASES = {
+    "firacode": (FIRACODE_PATH, 0.011),
+    "montserrat": (MONTSERRAT_PATH, 0.013),
+}
+
+
+def _ground_truth(font_key: str, font_path: str) -> np.ndarray:
+    if font_key == "montserrat":
+        from ai_font_renderer_tpu.fontgen.proportional import bake_prop_atlas
+
+        atlas = bake_prop_atlas(font_path)
+    else:
+        from ai_font_renderer_tpu.fontgen import bake_atlas
+
+        atlas = bake_atlas(font_path)
+    gt = np.asarray(synthesize_ground_truth(atlas, TEST_STRINGS), np.float32)
+    return gt / 255.0 if gt.max() > 1.5 else gt
+
+
+@pytest.mark.parametrize("font_key", sorted(CASES))
+def test_committed_joint_best_quality(font_key):
+    """The committed checkpoint pair renders the 15 TEST_STRINGS within
+    1.4x of its measured-best e2e MSE (fully neural, soft decode)."""
+    font_path, bound = CASES[font_key]
+    pdir = os.path.join(ART, font_key)
+    pp, pcfg = load_params_with_config(
+        os.path.join(pdir, "placement_finetuned.npz")
+    )
+    sp, scfg, charset = load_siren(os.path.join(pdir, "siren_finetuned.npz"))
+    sheets = render_learned_sheets(
+        sp, pp, TEST_STRINGS, font_path, scfg, pcfg, charset=charset
+    )
+    gt = _ground_truth(font_key, font_path)
+    mse = float(np.mean((np.asarray(sheets) - gt) ** 2))
+    assert mse < bound, (
+        f"{font_key} committed joint-best renders at MSE {mse:.5f} "
+        f"(lock {bound}); decode or checkpoint path regressed"
+    )
+
+
+@pytest.mark.parametrize("font_key", sorted(CASES))
+def test_committed_hlo_artifact_matches_checkpoints(font_key):
+    """The committed StableHLO artifact reproduces the checkpoint render
+    on the uint8 grid — the zero-framework deployment path serves the
+    same pixels as the checkpoints it was exported from."""
+    from ai_font_renderer_tpu.utils.export import load_exported, render_exported
+
+    font_path, bound = CASES[font_key]
+    pdir = os.path.join(ART, font_key)
+    exported = load_exported(os.path.join(pdir, "neural_render.hlo"))
+    strings = TEST_STRINGS[:4]
+    # render_exported already returns the u8 grid scaled to [0, 1].
+    got = np.asarray(render_exported(exported, strings), np.float32)
+
+    pp, pcfg = load_params_with_config(
+        os.path.join(pdir, "placement_finetuned.npz")
+    )
+    sp, scfg, charset = load_siren(os.path.join(pdir, "siren_finetuned.npz"))
+    want = np.asarray(
+        render_learned_sheets(
+            sp, pp, strings, font_path, scfg, pcfg, charset=charset
+        )
+    )
+    # uint8 rounding is the only permitted delta.
+    assert np.max(np.abs(got - want)) <= (1.5 / 255.0)
