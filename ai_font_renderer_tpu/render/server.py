@@ -342,6 +342,10 @@ class RenderServer:
             class TCPServer(socketserver.ThreadingTCPServer):
                 allow_reuse_address = True
                 daemon_threads = True
+                # IPv6 literal hosts ('::1') need AF_INET6; ThreadingTCPServer
+                # defaults to AF_INET and would fail the bind.
+                if ":" in self.tcp[0]:
+                    address_family = socket.AF_INET6
 
                 def get_request(inner):
                     # do_handshake_on_connect=False: the handshake runs on

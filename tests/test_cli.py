@@ -344,3 +344,17 @@ def test_render_fast_flag(tmp_path):
     rc = cli.main(["render", "HELLO", "--weights", weights, "--out", out, "--fast"])
     assert rc == 0
     assert os.path.exists(os.path.join(out, "string_0.bmp"))
+
+
+def test_parse_tcp_forms():
+    """--tcp accepts hostname/IPv4/bracketed-IPv6/bare-IPv6 and rejects
+    malformed values (ADVICE r3: '[::1]:8080' used to keep the brackets)."""
+    from ai_font_renderer_tpu.cli import parse_tcp
+
+    assert parse_tcp("localhost:8080") == ("localhost", 8080)
+    assert parse_tcp("127.0.0.1:0") == ("127.0.0.1", 0)
+    assert parse_tcp("[::1]:8080") == ("::1", 8080)
+    assert parse_tcp("::1:8080") == ("::1", 8080)
+    assert parse_tcp("nope") is None
+    assert parse_tcp(":8080") is None
+    assert parse_tcp("host:port") is None

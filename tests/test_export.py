@@ -268,3 +268,26 @@ def test_cli_render_missing_artifact(tmp_path):
          "--out", str(tmp_path / "o")]
     )
     assert rc == 1
+
+
+def test_neural_export_warns_on_ignored_precision_flags(tmp_path, capsys):
+    """--int8/--fast only exist for the flagship export; combining them
+    with --placement warns instead of silently ignoring (ADVICE r3)."""
+    from ai_font_renderer_tpu.config import FIRACODE_PATH
+    from ai_font_renderer_tpu.utils.checkpoint import save_params, save_siren
+
+    pp, sp, scfg = _tiny_neural()
+    pnpz = str(tmp_path / "place.npz")
+    snpz = str(tmp_path / "bank.npz")
+    save_params(pp, pnpz, mcfg=TINY)
+    save_siren(sp, scfg, CHARSET, snpz)
+    artifact = str(tmp_path / "neural.hlo")
+    rc = cli.main(
+        [
+            "export", "--placement", pnpz, "--implicit", snpz,
+            "--font", FIRACODE_PATH, "--out", artifact,
+            "--platforms", "cpu", "--int8",
+        ]
+    )
+    assert rc == 0 and os.path.exists(artifact)
+    assert "ignored for --placement" in capsys.readouterr().out

@@ -319,3 +319,26 @@ def test_tls_requires_tcp_and_pairing():
         RenderServer(params, MCFG, tcp=("127.0.0.1", 0), tls_cert="c.pem")
     with pytest.raises(ValueError, match="TCP"):
         RenderServer(params, MCFG, tls_cert="c.pem", tls_key="k.pem")
+
+
+def test_ipv6_tcp_roundtrip(tmp_path):
+    """IPv6 literal hosts bind AF_INET6 (the stdlib ThreadingTCPServer
+    default would fail on '::1') and serve the same protocol."""
+    import socket as _socket
+
+    try:
+        probe = _socket.socket(_socket.AF_INET6, _socket.SOCK_STREAM)
+        probe.bind(("::1", 0))
+        probe.close()
+    except OSError:
+        pytest.skip("no IPv6 loopback on this host")
+    params = font_renderer.init(jax.random.PRNGKey(0), MCFG)
+    srv = RenderServer(params, MCFG, batch_size=8, tcp=("::1", 0))
+    srv.start()
+    try:
+        header, payloads = request_render(
+            "", ["V6"], tcp=("::1", srv.address[1])
+        )
+        assert header["count"] == 1 and len(payloads[0]) == 16 * 48
+    finally:
+        srv.stop()

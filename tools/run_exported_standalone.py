@@ -34,7 +34,10 @@ def encode(strings, max_length):
     """
     out = np.zeros((len(strings), max_length), dtype=np.int32)
     for i, s in enumerate(strings):
-        codes = [ord(c) for c in s[:max_length]]
+        # Mask to 7 bits like the framework's encode_codes: codes >= 128
+        # would otherwise clamp inside the artifact's embedding gather
+        # and silently diverge from `afr render --exported`.
+        codes = [ord(c) & 0x7F for c in s[:max_length]]
         out[i, : len(codes)] = codes
     return out
 
