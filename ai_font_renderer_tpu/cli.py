@@ -361,6 +361,14 @@ def cmd_export(args) -> int:
         from .utils.checkpoint import load_siren
         from .utils.export import export_neural_render
 
+        if getattr(args, "int8", False) or getattr(args, "fast", False):
+            # These flags quantize/bf16 the FLAGSHIP projection; the
+            # neural-pipeline export has no such tier yet — don't let a
+            # user believe they got a quantized artifact.
+            print(
+                "Warning: --int8/--fast apply only to the flagship export; "
+                "ignored for --placement artifacts"
+            )
         if not getattr(args, "implicit", None):
             print("Error: --placement export requires --implicit SIREN_NPZ")
             return 1
@@ -402,6 +410,20 @@ def cmd_export(args) -> int:
     return 0
 
 
+def parse_tcp(value: str) -> tuple[str, int] | None:
+    """'HOST:PORT' -> (host, port), or None if malformed.
+
+    Accepts hostnames, IPv4, and IPv6 — both the RFC 3986 bracketed form
+    ('[::1]:8080', brackets stripped for the bind call) and the bare
+    trailing-colon-port form ('::1:8080', split at the last colon)."""
+    host, _, port = value.rpartition(":")
+    if not host or not port.isdigit():
+        return None
+    if host.startswith("[") and host.endswith("]"):
+        host = host[1:-1]
+    return host, int(port)
+
+
 def cmd_serve(args) -> int:
     """Run the batched render server (render/server.py) until interrupted."""
     import time
@@ -423,6 +445,14 @@ def cmd_serve(args) -> int:
         if not os.path.exists(args.exported):
             print(f"Error: exported artifact not found: {args.exported}")
             return 1
+        if getattr(args, "int8", False) or getattr(args, "fast", False):
+            # The artifact's precision was baked at export time; the
+            # serve-side knobs only affect the weights-file backend.
+            print(
+                "Warning: --int8/--fast have no effect with --exported — "
+                "the artifact serves whatever precision was baked in "
+                "(use `afr export --int8/--fast` instead)"
+            )
         exported = load_exported(args.exported)
         max_length, height, width = exported_contract(exported)
         params = None
@@ -454,11 +484,10 @@ def cmd_serve(args) -> int:
     )
     tcp = None
     if getattr(args, "tcp", None):
-        host, _, port = args.tcp.rpartition(":")
-        if not host or not port.isdigit():
+        tcp = parse_tcp(args.tcp)
+        if tcp is None:
             print(f"Error: --tcp expects HOST:PORT, got {args.tcp!r}")
             return 1
-        tcp = (host, int(port))
     server = RenderServer(
         params,
         mcfg,
@@ -494,9 +523,21 @@ def main(argv: list[str] | None = None) -> int:
 
     # The reference's bare contract first: no args, or --train (+ our
     # optional overrides). Subcommands are dispatched by their first token.
-    if argv and argv[0] in ("fontgen", "render", "eval", "serve", "export"):
+    if argv and argv[0] in (
+        "fontgen", "render", "eval", "serve", "export", "train-placement",
+    ):
         parser = argparse.ArgumentParser(prog="afr")
         sub = parser.add_subparsers(dest="cmd", required=True)
+        from .train import placement_cli
+
+        p_tp = sub.add_parser(
+            "train-placement",
+            help="train the learned-placement pipeline (supervised "
+            "engine-target phase, SIREN bank, pixel fine-tune, joint "
+            "SIREN+placement fine-tune) — the campaign protocol behind "
+            "artifacts/, on the product surface",
+        )
+        placement_cli.add_args(p_tp)
         p_gen = sub.add_parser("fontgen", help="export dataset BMPs + data.txt")
         p_gen.add_argument("--num-samples", type=int, default=150000)
         p_gen.add_argument("--out", default="train_input")
@@ -684,8 +725,10 @@ def main(argv: list[str] | None = None) -> int:
             default=None,
             metavar="HOST:PORT",
             help="listen on TCP instead of the unix socket (port 0 = "
-            "ephemeral; plaintext unless --tls-cert/--tls-key are given "
-            "— use TLS + --auth-token beyond loopback)",
+            "ephemeral; hostnames, IPv4, and IPv6 literals — bracketed "
+            "'[::1]:8080' or bare — are accepted; plaintext unless "
+            "--tls-cert/--tls-key are given — use TLS + --auth-token "
+            "beyond loopback)",
         )
         p_srv.add_argument(
             "--tls-cert",
@@ -698,6 +741,8 @@ def main(argv: list[str] | None = None) -> int:
             help="PEM private key for --tls-cert",
         )
         args = parser.parse_args(argv)
+        if args.cmd == "train-placement":
+            return placement_cli.run(args, p_tp)
         return {
             "fontgen": cmd_fontgen,
             "render": cmd_render,

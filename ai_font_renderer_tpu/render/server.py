@@ -11,10 +11,18 @@ dispatcher encodes/pads batch N+1 on the host while batch N runs on device.
 
 Protocol (length-prefixed, stdlib-only):
   request : uint32 BE length + UTF-8 JSON {"strings": [...], "format":
-            "raw"|"bmp", "auth": TOKEN (required iff the server has one)}
+            "raw"|"bmp"|"rle"|"zlib", "auth": TOKEN (required iff the
+            server has one)}
   response: uint32 BE length + JSON header {"count", "height", "width",
             "format"} then, per string: raw uint8 H*W bytes (format=raw) or
-            uint32 BE length + BMP file bytes (format=bmp). An
+            uint32 BE length + BMP file bytes (format=bmp); for the
+            compressed formats, ONE uint32 BE length-prefixed blob holding
+            all count*H*W pixels: byte-level run-length pairs
+            (value u8, runlen u16 BE — format=rle) or a zlib stream of the
+            raw bytes (format=zlib). Text sheets are ~97% white, so both
+            cut reply bytes ~20-50x — the measured serve-loop bottleneck
+            is the 1-core host pushing ~196 MB of reply bytes
+            (RESULTS.md); see tools/bench_serve.py for the A/B. An
             unauthorized request gets {"error": "unauthorized"} and the
             connection closes.
 
@@ -200,6 +208,37 @@ class _Batcher:
                 self._fetch_chunk(inflight)
 
 
+def rle_encode(arr: np.ndarray) -> bytes:
+    """uint8 array -> byte-level run-length pairs (value u8, len u16 BE).
+
+    Vectorized: run boundaries via diff, runs longer than 65535 split
+    into ceil(len/65535) pairs. A mostly-white text sheet encodes to a
+    few hundred bytes instead of 19200."""
+    flat = np.ascontiguousarray(arr, np.uint8).reshape(-1)
+    if flat.size == 0:
+        return b""
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(flat)) + 1])
+    lens = np.diff(np.concatenate([starts, [flat.size]]))
+    vals = flat[starts]
+    reps = (lens + 65534) // 65535  # pairs per run
+    total = int(reps.sum())
+    lens2 = np.full(total, 65535, np.int64)
+    lens2[np.cumsum(reps) - 1] = lens - (reps - 1) * 65535
+    vals2 = np.repeat(vals, reps)
+    out = np.empty((total, 3), np.uint8)
+    out[:, 0] = vals2
+    out[:, 1] = lens2 >> 8
+    out[:, 2] = lens2 & 0xFF
+    return out.tobytes()
+
+
+def rle_decode(blob: bytes) -> np.ndarray:
+    """Inverse of :func:`rle_encode` -> flat uint8 array."""
+    a = np.frombuffer(blob, np.uint8).reshape(-1, 3)
+    lens = (a[:, 1].astype(np.int64) << 8) | a[:, 2]
+    return np.repeat(a[:, 0], lens)
+
+
 def _send_msg(sock, payload: bytes):
     sock.sendall(struct.pack(">I", len(payload)) + payload)
 
@@ -219,8 +258,10 @@ def _recv_msg(sock) -> bytes | None:
     if head is None:
         return None
     (length,) = struct.unpack(">I", head)
-    if length > 16 << 20:
-        raise ValueError(f"oversized request: {length} bytes")
+    # Sanity cap for requests AND compressed reply blobs (a 2048-string
+    # reply RLE-encodes to ~10 MB worst case on real text sheets).
+    if length > 64 << 20:
+        raise ValueError(f"oversized message: {length} bytes")
     return _recv_exact(sock, length)
 
 
@@ -323,7 +364,19 @@ class RenderServer:
                                     sheets = np.round(
                                         np.clip(sheets, 0, 1) * 255
                                     ).astype(np.uint8)
-                                sock.sendall(sheets.tobytes())
+                                if fmt == "rle":
+                                    _send_msg(sock, rle_encode(sheets))
+                                elif fmt == "zlib":
+                                    import zlib
+
+                                    # Level 1: the host core is the
+                                    # bottleneck, not the wire.
+                                    _send_msg(
+                                        sock,
+                                        zlib.compress(sheets.tobytes(), 1),
+                                    )
+                                else:
+                                    sock.sendall(sheets.tobytes())
                         finally:
                             done.set()
 
@@ -419,11 +472,24 @@ def request_render(
         header = json.loads(_recv_msg(s))
         if "error" in header:
             raise PermissionError(header["error"])
+        hw = header["height"] * header["width"]
         if fmt == "bmp":
             payloads = [_recv_msg(s) for _ in range(header["count"])]
+        elif fmt in ("rle", "zlib"):
+            comp = _recv_msg(s)
+            if fmt == "rle":
+                flat = rle_decode(comp)
+            else:
+                import zlib
+
+                flat = np.frombuffer(zlib.decompress(comp), np.uint8)
+            blob = flat.tobytes()
+            payloads = [
+                blob[i * hw : (i + 1) * hw] for i in range(header["count"])
+            ]
         else:
-            n = header["count"] * header["height"] * header["width"]
-            blob = _recv_exact(s, n)
-            hw = header["height"] * header["width"]
-            payloads = [blob[i * hw : (i + 1) * hw] for i in range(header["count"])]
+            blob = _recv_exact(s, header["count"] * hw)
+            payloads = [
+                blob[i * hw : (i + 1) * hw] for i in range(header["count"])
+            ]
         return header, payloads

@@ -342,3 +342,41 @@ def test_ipv6_tcp_roundtrip(tmp_path):
         assert header["count"] == 1 and len(payloads[0]) == 16 * 48
     finally:
         srv.stop()
+
+
+def test_rle_codec_roundtrip():
+    """rle_encode/rle_decode invert each other, including runs past the
+    u16 length cap (an all-white 4-sheet blob is one 76800-byte run)."""
+    from ai_font_renderer_tpu.render.server import rle_decode, rle_encode
+
+    rng = np.random.default_rng(0)
+    cases = [
+        np.full((4, 80, 240), 255, np.uint8),  # run >> 65535
+        np.zeros((1, 3), np.uint8),
+        rng.integers(0, 256, (2, 80, 240)).astype(np.uint8),  # worst case
+        np.array([], np.uint8),
+    ]
+    for arr in cases:
+        out = rle_decode(rle_encode(arr)) if arr.size else rle_encode(arr)
+        if arr.size:
+            np.testing.assert_array_equal(out, arr.reshape(-1))
+        else:
+            assert out == b""
+    # Compression on text-like sheets: mostly-white rows with contiguous
+    # ink strokes must come out far smaller than raw.
+    sheet = np.full((64, 80, 240), 255, np.uint8)
+    sheet[:, 20:30, 40:60] = 0  # a contiguous stroke per row
+    assert len(rle_encode(sheet)) < sheet.size // 10
+
+
+@pytest.mark.parametrize("fmt", ["rle", "zlib"])
+def test_compressed_reply_matches_raw(server, fmt):
+    """format=rle/zlib replies decode to byte-identical sheets vs raw —
+    the opt-in wire compression (VERDICT r3 #6) changes bytes on the
+    wire, never pixels."""
+    srv, sock, params = server
+    strings = ["HELLO", "WORLD WIDE WEB", ""]
+    _, raw = request_render(sock, strings, fmt="raw")
+    header, comp = request_render(sock, strings, fmt=fmt)
+    assert header["format"] == fmt and header["count"] == 3
+    assert [bytes(c) for c in comp] == [bytes(r) for r in raw]

@@ -6,10 +6,14 @@ socket framing + dynamic batching + device render + reply encode. Unlike
 bench.py's device-only chain, this number includes every host-side cost a
 real serving deployment pays.
 
-Usage: python tools/bench_serve.py [n_clients] [reqs_per_client] [strings_per_req] [--int8]
+Usage: python tools/bench_serve.py [n_clients] [reqs_per_client] [strings_per_req] [--int8] [--format raw|rle|zlib]
 Prints one JSON line with strings/sec and glyphs/sec (end-to-end).
 ``--int8``: serve the quantized int8 x int8 projection (`afr serve --int8`
 path) — the A/B against the default full-precision serve.
+``--format``: reply encoding. The measured serve-loop ceiling is the
+1-core host pushing raw reply bytes (~196 MB per bench run, RESULTS.md);
+rle/zlib trade compress CPU for a ~10-50x smaller reply — this flag is
+the A/B that decides whether that trade wins.
 """
 
 from __future__ import annotations
@@ -35,7 +39,14 @@ SOCK = "/tmp/afr_bench.sock"
 
 def main() -> None:
     int8 = "--int8" in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    fmt = "raw"
+    if "--format" in sys.argv:
+        fmt = sys.argv[sys.argv.index("--format") + 1]
+    argv = sys.argv[1:]
+    if "--format" in argv:
+        i = argv.index("--format")
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
     n_clients = int(args[0]) if len(args) > 0 else 8
     reqs = int(args[1]) if len(args) > 1 else 20
     per_req = int(args[2]) if len(args) > 2 else 64
@@ -60,14 +71,14 @@ def main() -> None:
     glyphs_per_req = sum(len(s) for s in strings)
 
     # Warm (compile + first batch) outside the timed window.
-    _, warm = request_render(SOCK, strings[:4])
+    _, warm = request_render(SOCK, strings[:4], fmt=fmt)
     assert len(warm) == 4
 
     done = [0] * n_clients
 
     def client(ci: int) -> None:
         for _ in range(reqs):
-            _, sheets = request_render(SOCK, strings)
+            _, sheets = request_render(SOCK, strings, fmt=fmt)
             assert len(sheets) == per_req
             done[ci] += 1
 
@@ -92,6 +103,7 @@ def main() -> None:
                 "clients": n_clients,
                 "batch_size": 256,
                 "int8": int8,
+                "format": fmt,
                 "wall_s": round(dt, 2),
             }
         )
