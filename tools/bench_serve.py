@@ -38,10 +38,24 @@ SOCK = "/tmp/afr_bench.sock"
 
 
 def main() -> None:
+    # Opt-in hang diagnostics: AFR_BENCH_DUMP_AFTER=<seconds> dumps every
+    # thread's stack to stderr after that long, then exits — a watchdog for
+    # deadlocks in the serve path that only reproduce under live load.
+    dump_after = os.environ.get("AFR_BENCH_DUMP_AFTER")
+    if dump_after:
+        import faulthandler
+
+        faulthandler.dump_traceback_later(float(dump_after), exit=True)
     int8 = "--int8" in sys.argv
     fmt = "raw"
     if "--format" in sys.argv:
         fmt = sys.argv[sys.argv.index("--format") + 1]
+    # Comma-separated formats run the A/B inside ONE process/server: each
+    # TPU process claims the device, and back-to-back processes serialize
+    # behind the previous claim's ~10 min stale-grant timeout (measured:
+    # a second bench process hung its warmup fetch for minutes; see
+    # extended_runs/bench_serve_formats_r4.log history).
+    fmts = [f.strip() for f in fmt.split(",") if f.strip()]
     argv = sys.argv[1:]
     if "--format" in argv:
         i = argv.index("--format")
@@ -70,44 +84,48 @@ def main() -> None:
     ]
     glyphs_per_req = sum(len(s) for s in strings)
 
-    # Warm (compile + first batch) outside the timed window.
-    _, warm = request_render(SOCK, strings[:4], fmt=fmt)
-    assert len(warm) == 4
+    for fmt in fmts:
+        # Warm (compile + first batch) outside the timed window.
+        _, warm = request_render(SOCK, strings[:4], fmt=fmt)
+        assert len(warm) == 4
 
-    done = [0] * n_clients
+        done = [0] * n_clients
 
-    def client(ci: int) -> None:
-        for _ in range(reqs):
-            _, sheets = request_render(SOCK, strings, fmt=fmt)
-            assert len(sheets) == per_req
-            done[ci] += 1
+        def client(ci: int) -> None:
+            for _ in range(reqs):
+                _, sheets = request_render(SOCK, strings, fmt=fmt)
+                assert len(sheets) == per_req
+                done[ci] += 1
 
-    threads = [threading.Thread(target=client, args=(i,)) for i in range(n_clients)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t0
-    server.stop()
+        threads = [
+            threading.Thread(target=client, args=(i,)) for i in range(n_clients)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
 
-    total_strings = n_clients * reqs * per_req
-    total_glyphs = n_clients * reqs * glyphs_per_req
-    print(
-        json.dumps(
-            {
-                "metric": "serve_strings_per_sec",
-                "value": round(total_strings / dt, 1),
-                "unit": "strings/sec",
-                "glyphs_per_sec": round(total_glyphs / dt, 1),
-                "clients": n_clients,
-                "batch_size": 256,
-                "int8": int8,
-                "format": fmt,
-                "wall_s": round(dt, 2),
-            }
+        total_strings = n_clients * reqs * per_req
+        total_glyphs = n_clients * reqs * glyphs_per_req
+        print(
+            json.dumps(
+                {
+                    "metric": "serve_strings_per_sec",
+                    "value": round(total_strings / dt, 1),
+                    "unit": "strings/sec",
+                    "glyphs_per_sec": round(total_glyphs / dt, 1),
+                    "clients": n_clients,
+                    "batch_size": 256,
+                    "int8": int8,
+                    "format": fmt,
+                    "wall_s": round(dt, 2),
+                }
+            ),
+            flush=True,
         )
-    )
+    server.stop()
 
 
 if __name__ == "__main__":
