@@ -192,6 +192,21 @@ class TrainConfig:
     # delta vs the standard step: bf16 rounding of the projection
     # cotangent only.
     handrolled_bwd: bool = False
+    # Rematerialization policy for the frontend inside the hand-rolled
+    # step (VERDICT r4's non-kernel lever on the traffic-bound frontend
+    # backward — fwd 3.31 ms vs ~0.4 ms HBM roofline, RESULTS.md):
+    #   "none" — store all residuals (default; standard autodiff memory);
+    #   "dots" — jax.checkpoint with dots_with_no_batch_dims_saveable:
+    #            keep GEMM outputs, recompute the elementwise/softmax/
+    #            dropout chains in the backward instead of round-tripping
+    #            their residuals (attention probs are ~80-160 MB/step)
+    #            through HBM;
+    #   "full" — jax.checkpoint with nothing saved: recompute the whole
+    #            frontend in the backward (trades maximum HBM traffic for
+    #            a full extra frontend forward).
+    # Gradients are bit-identical in expectation (PRNG keys replay
+    # deterministically under checkpoint). Requires handrolled_bwd.
+    remat_frontend: str = "none"
     # Wall-clock training budget in seconds (None = unlimited). Checked
     # after each epoch: the run stops cleanly with best-weights restore and
     # manifest semantics identical to early stopping. Useful when a

@@ -133,6 +133,25 @@ def _handrolled_step(state: TrainState, codes, targets, lr, key, mcfg, tcfg):
     def front(rest_params):
         return font_renderer.frontend(rest_params, codes, mcfg, train=True, key=key)
 
+    # VERDICT-r4 non-kernel lever on the traffic-bound frontend backward:
+    # rematerialize instead of storing residuals. "dots" keeps GEMM outputs
+    # and recomputes the softmax/dropout/LN elementwise chains in the
+    # backward (their residuals — attention probs foremost — are the HBM
+    # round-trip the roofline table attributes the frontend gap to);
+    # "full" saves nothing and replays the whole frontend. PRNG-keyed
+    # dropout replays deterministically, so gradients are unchanged.
+    if tcfg.remat_frontend == "dots":
+        front = jax.checkpoint(
+            front,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    elif tcfg.remat_frontend == "full":
+        front = jax.checkpoint(front)
+    elif tcfg.remat_frontend != "none":
+        raise ValueError(
+            f"remat_frontend must be none|dots|full, got {tcfg.remat_frontend!r}"
+        )
+
     flat, vjp = jax.vjp(front, rest)
     dt = jnp.bfloat16 if mcfg.bf16_matmul else jnp.float32
     flat_dt = flat.astype(dt)

@@ -104,6 +104,42 @@ def test_handrolled_epoch_matches_losses():
     np.testing.assert_allclose(losses["hand"], losses["std"], rtol=1e-3)
 
 
+@pytest.mark.parametrize("policy", ["dots", "full"])
+def test_remat_frontend_step_matches_none(policy):
+    """TrainConfig.remat_frontend must be a pure scheduling choice: the
+    checkpointed frontend replays the same PRNG-keyed dropout, so one
+    hand-rolled step produces bit-identical params/loss vs remat='none'
+    (strict f32 so no bf16 rounding enters the comparison)."""
+    mcfg = ModelConfig(bf16_matmul=False, **SMALL)
+    codes = jax.random.randint(jax.random.PRNGKey(3), (16, 24), 65, 91, jnp.int32)
+    targets = jax.random.uniform(jax.random.PRNGKey(4), (16, 16, 48))
+    lr = jnp.float32(1e-3)
+    dkey = jax.random.key(1, impl="rbg")
+
+    outs = {}
+    for rf in ("none", policy):
+        tcfg = TrainConfig(handrolled_bwd=True, remat_frontend=rf)
+        st = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
+        st2, loss = _handrolled_step(st, codes, targets, lr, dkey, mcfg, tcfg)
+        outs[rf] = (jax.tree.map(np.asarray, st2.params), float(loss))
+    assert outs["none"][1] == outs[policy][1]
+    for k in outs["none"][0]:
+        np.testing.assert_array_equal(outs["none"][0][k], outs[policy][0][k], err_msg=k)
+
+
+def test_remat_frontend_rejects_unknown_policy():
+    tcfg = TrainConfig(handrolled_bwd=True, remat_frontend="bogus")
+    mcfg = ModelConfig(**SMALL)
+    params = font_renderer.init(jax.random.PRNGKey(0), mcfg)
+    st = TrainState(params, make_optimizer(tcfg).init(params))
+    codes = jnp.full((4, 24), 65, jnp.int32)
+    targets = jnp.zeros((4, 16, 48), jnp.float32)
+    with pytest.raises(ValueError, match="remat_frontend"):
+        _handrolled_step(
+            st, codes, targets, jnp.float32(1e-3), jax.random.key(1, impl="rbg"), mcfg, tcfg
+        )
+
+
 def test_handrolled_refuses_unsupported_configs():
     tcfg = TrainConfig(handrolled_bwd=True)
     codes = jnp.full((4, 24), 65, jnp.int32)

@@ -48,6 +48,16 @@ PROFILES = {
         ModelConfig(bf16_frontend=True, bits_dropout=True),
         TrainConfig(handrolled_bwd=True),
     ),
+    # Round 4: remat policies on the traffic-bound frontend backward
+    # (TrainConfig.remat_frontend; VERDICT r3 #5's non-kernel lever).
+    "fast_hr_rematdots": (
+        ModelConfig(bf16_frontend=True, bits_dropout=True),
+        TrainConfig(handrolled_bwd=True, remat_frontend="dots"),
+    ),
+    "fast_hr_rematfull": (
+        ModelConfig(bf16_frontend=True, bits_dropout=True),
+        TrainConfig(handrolled_bwd=True, remat_frontend="full"),
+    ),
 }
 
 
