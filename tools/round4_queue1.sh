@@ -7,13 +7,19 @@
 # cosine -> 0, 12000 steps, same joint protocol). This is the cheap
 # proven lever; the capacity sweep (VERDICT #2's untried axis) runs
 # separately as queue 2.
+#
+# Init comes from the COMMITTED artifacts (artifacts/firacode/*.npz ==
+# the joint23 finetuned pair): the machine restart between rounds wiped
+# every untracked npz again, and the committed artifact set is exactly
+# the durability mechanism VERDICT r3 #1 asked for. Runs through the
+# product surface (afr train-placement), not the tools shim.
 set -e
 cd "$(dirname "$0")/.."
 
-FC=extended_runs/placement_firacode_joint23
-python tools/train_placement.py --font firacode --samples 100000 \
-  --epochs 0 --line-head 5 \
-  --init-from $FC/placement_finetuned.npz --siren-from $FC/siren_finetuned.npz \
+AF=artifacts/firacode
+python -m ai_font_renderer_tpu.cli train-placement --font firacode \
+  --samples 100000 --epochs 0 --line-head 5 \
+  --init-from $AF/placement_finetuned.npz --siren-from $AF/siren_finetuned.npz \
   --finetune-joint \
   --finetune-steps 12000 --finetune-samples 32768 \
   --finetune-schedule cosine --finetune-lr 2.5e-5 \
