@@ -35,6 +35,7 @@ def main() -> None:
     # a missing linear head.
     import os
 
+    smoke = bool(os.environ.get("AFR_BENCH_SMOKE"))
     if os.path.exists("font_renderer.npz"):
         from ai_font_renderer_tpu.utils.checkpoint import load_params_with_config
 
@@ -43,7 +44,7 @@ def main() -> None:
         mcfg = ModelConfig()
         params = font_renderer.init(jax.random.PRNGKey(0), mcfg)
 
-    batch = 2048  # measured serving sweet spot (module docstring)
+    batch = 128 if os.environ.get("AFR_BENCH_SMOKE") else 2048  # sweet spot
     glyphs_per_sheet = mcfg.max_length  # 100-char sheets
     key = jax.random.PRNGKey(1)
     codes = jax.random.randint(key, (batch, mcfg.max_length), 65, 91, jnp.int32)
@@ -62,7 +63,7 @@ def main() -> None:
     out, c = fwd_chain(params, codes)
     jax.block_until_ready((out, c))
 
-    iters = 50
+    iters = 2 if os.environ.get("AFR_BENCH_SMOKE") else 50
     best_dt = float("inf")
     for _ in range(3):  # best of 3 measured windows
         t0 = time.perf_counter()
@@ -157,7 +158,7 @@ def main() -> None:
     # across rounds regardless of which checkpoint sits at the weights path.
     train_mcfg = ModelConfig()
     tcfg = TrainConfig()
-    tb = tcfg.batch_size
+    tb = 32 if smoke else tcfg.batch_size
     n_fake = 4 * tb
     codes_all = jax.random.randint(
         key, (n_fake, train_mcfg.max_length), 65, 91, jnp.int32
@@ -169,7 +170,14 @@ def main() -> None:
         256,
         jnp.int32,
     ).astype(jnp.uint8)
-    steps = 20
+    # Production epoch length: 150k samples, 80/20 split, batch 1024 ->
+    # 117 train steps. Round 4's profiler trace proved a 20-step epoch
+    # over-charges each step ~1.6 ms of per-epoch dispatch+fetch overhead
+    # that amortizes at this length (RESULTS.md "The last 2.7 ms":
+    # 13.85 ms/step at 20 steps vs 12.26 at 117, same jit, same weights;
+    # device busy is 12.17). AFR_BENCH_SMOKE=1 shrinks everything for a
+    # CPU plumbing check.
+    steps = 4 if smoke else 117
     batch_idx = (
         jnp.arange(steps * tb, dtype=jnp.int32).reshape(steps, tb) % n_fake
     )
@@ -223,6 +231,7 @@ def main() -> None:
                 "int8_bf16_serving_glyphs_per_sec": round(
                     int8_bf16_glyphs_per_sec, 1
                 ),
+                "train_epoch_steps": steps,
                 "train_steps_per_sec": round(steps / train_dt, 2),
                 "train_samples_per_sec": round(steps * tb / train_dt, 1),
                 "fast_train_steps_per_sec": round(steps / fast_dt, 2),
