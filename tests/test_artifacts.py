@@ -8,7 +8,7 @@ quality* of those exact files — the lock VERDICT r3 flagged as missing:
 a silent decode-path regression in implicit_sheet.py / placement.py
 would previously ship undetected because every checkpoint was gitignored.
 
-Bounds are ~1.4x the measured bests (FiraCode 0.00787, Montserrat
+Bounds are ~1.4x the measured bests (FiraCode 0.00629, Montserrat
 0.00916 e2e MSE over the 15 adversarial TEST_STRINGS, RESULTS.md): loose
 enough for platform numerics (these run on CPU; the numbers were
 measured on TPU), tight enough that a real regression — a decode change,
@@ -32,7 +32,7 @@ from ai_font_renderer_tpu.utils.checkpoint import (
 ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 
 CASES = {
-    "firacode": (FIRACODE_PATH, 0.011),
+    "firacode": (FIRACODE_PATH, 0.009),
     "montserrat": (MONTSERRAT_PATH, 0.013),
 }
 
