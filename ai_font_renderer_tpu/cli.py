@@ -417,7 +417,12 @@ def parse_tcp(value: str) -> tuple[str, int] | None:
     ('[::1]:8080', brackets stripped for the bind call) and the bare
     trailing-colon-port form ('::1:8080', split at the last colon)."""
     host, _, port = value.rpartition(":")
-    if not host or not port.isdigit():
+    # ASCII-digits only (str.isdigit admits Unicode digits) and the valid
+    # port range, so a bad port fails the clean usage path here instead of
+    # an OverflowError traceback at bind time.
+    if not host or not port.isascii() or not port.isdigit():
+        return None
+    if not 0 <= int(port) <= 65535:
         return None
     if host.startswith("[") and host.endswith("]"):
         host = host[1:-1]

@@ -219,6 +219,22 @@ class TrainConfig:
     # final weights (helpers.py:76-79); periodic checkpointing is new.
     checkpoint_every: int = 25
 
+    def __post_init__(self):
+        # Validate here, not only inside _handrolled_step: under the default
+        # standard step the flag is never consumed, so a bad value (or a
+        # remat A/B run without handrolled_bwd) would otherwise no-op
+        # silently and "measure" nothing.
+        if self.remat_frontend not in ("none", "dots", "full"):
+            raise ValueError(
+                f"remat_frontend must be none|dots|full, got "
+                f"{self.remat_frontend!r}"
+            )
+        if self.remat_frontend != "none" and not self.handrolled_bwd:
+            raise ValueError(
+                "remat_frontend only applies to the hand-rolled step; "
+                "set handrolled_bwd=True"
+            )
+
 
 @dataclass(frozen=True)
 class MeshConfig:

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SheetSpec
-from .atlas import GlyphAtlas
+from .atlas import GlyphAtlas, bake_atlas
 from .layout import encode_codes, encode_grids
 from .sheets import make_synth_ops, synthesize_sheets
 from .textgen import generate_corpus
@@ -274,6 +274,31 @@ def synthesize_ground_truth(
         else:
             chunks.append(np.asarray(synth(part)))
     return np.concatenate(chunks, axis=0)
+
+
+def bake_font_atlas(font_path: str, proportional: bool = False):
+    """Engine atlas for ``font_path``: the fixed-grid :class:`GlyphAtlas`
+    by default, the proportional bearing/kerning atlas when
+    ``proportional=True`` (Montserrat's pipeline).
+
+    The one font-kind switch shared by the placement CLI, the artifact
+    refresh tool, and the quality-lock tests.
+    """
+    if proportional:
+        from .proportional import bake_prop_atlas
+
+        return bake_prop_atlas(font_path)
+    return bake_atlas(font_path)
+
+
+def unit_ground_truth(atlas, strings: list[str]) -> np.ndarray:
+    """float32 ground-truth sheets in [0, 1] for ``strings`` (either atlas
+    type): :func:`synthesize_ground_truth` plus the /255 normalization the
+    render-fidelity evaluations share (the host synthesizers return the
+    uint8-range grid; the device path already returns unit floats).
+    """
+    gt = np.asarray(synthesize_ground_truth(atlas, strings), np.float32)
+    return gt / 255.0 if gt.max() > 1.5 else gt
 
 
 def load_string_dataset(

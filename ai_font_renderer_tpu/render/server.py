@@ -253,14 +253,17 @@ def _recv_exact(sock, n: int) -> bytes | None:
     return buf
 
 
-def _recv_msg(sock) -> bytes | None:
+def _recv_msg(sock, cap: int = 16 << 20) -> bytes | None:
     head = _recv_exact(sock, 4)
     if head is None:
         return None
     (length,) = struct.unpack(">I", head)
-    # Sanity cap for requests AND compressed reply blobs (a 2048-string
-    # reply RLE-encodes to ~10 MB worst case on real text sheets).
-    if length > 64 << 20:
+    # Asymmetric caps: the server reads REQUESTS under the default 16 MB
+    # (this runs before the auth check, so the pre-auth buffering exposure
+    # stays bounded); only the CLIENT raises the cap, for compressed reply
+    # blobs (a 2048-string reply RLE-encodes to ~10 MB worst case on real
+    # text sheets).
+    if length > cap:
         raise ValueError(f"oversized message: {length} bytes")
     return _recv_exact(sock, length)
 
@@ -476,13 +479,18 @@ def request_render(
         if fmt == "bmp":
             payloads = [_recv_msg(s) for _ in range(header["count"])]
         elif fmt in ("rle", "zlib"):
-            comp = _recv_msg(s)
+            comp = _recv_msg(s, cap=64 << 20)
             if fmt == "rle":
                 flat = rle_decode(comp)
             else:
                 import zlib
 
                 flat = np.frombuffer(zlib.decompress(comp), np.uint8)
+            if flat.size != header["count"] * hw:
+                raise ValueError(
+                    f"reply decodes to {flat.size} bytes, expected "
+                    f"{header['count']}x{hw}"
+                )
             blob = flat.tobytes()
             payloads = [
                 blob[i * hw : (i + 1) * hw] for i in range(header["count"])

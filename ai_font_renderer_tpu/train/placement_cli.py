@@ -563,8 +563,11 @@ def run(args, ap: argparse.ArgumentParser) -> int:
     # End-to-end neural render vs bitmap ground truth (SIREN bank trained
     # here, ~2 min), with the ENGINE-layout hybrid as the oracle floor —
     # the gap between the two rows is the placement net's contribution.
-    from ..fontgen.atlas import bake_atlas
-    from ..fontgen.dataset import synthesize_ground_truth
+    from ..fontgen.dataset import (
+        bake_font_atlas,
+        synthesize_ground_truth,
+        unit_ground_truth,
+    )
     from ..models import siren
     from ..render.implicit_sheet import (
         render_implicit_sheets,
@@ -592,12 +595,7 @@ def run(args, ap: argparse.ArgumentParser) -> int:
         )
     save_siren(sp, scfg, charset, os.path.join(out_dir, "siren.npz"))
 
-    if args.font == "montserrat":
-        from ..fontgen.proportional import bake_prop_atlas
-
-        atlas = bake_prop_atlas(font_path)
-    else:
-        atlas = bake_atlas(font_path)
+    atlas = bake_font_atlas(font_path, proportional=args.font == "montserrat")
 
     sp_eval = sp  # replaced by the tuned bank under --finetune-joint
     if args.finetune_steps > 0:
@@ -617,7 +615,13 @@ def run(args, ap: argparse.ArgumentParser) -> int:
 
         # Round to a whole number of batch-64 slices so every jitted
         # fine-tune step sees the same shapes.
-        ft_n = max(64, min(args.finetune_samples, len(tr)) // 64 * 64)
+        ft_n = min(args.finetune_samples, len(tr)) // 64 * 64
+        if ft_n == 0:
+            raise SystemExit(
+                f"--finetune-steps needs at least 64 train samples per batch "
+                f"(have {len(tr)} train strings, --finetune-samples "
+                f"{args.finetune_samples}); raise --samples/--finetune-samples"
+            )
         ft_strings = [strings[i] for i in tr[:ft_n]]
         gt_ft = np.asarray(
             synthesize_ground_truth(atlas, ft_strings, on_device=True),
@@ -755,9 +759,7 @@ def run(args, ap: argparse.ArgumentParser) -> int:
     oracle = render_implicit_sheets(
         sp, TEST_STRINGS, font_path, scfg, spec, charset=charset
     )
-    gt = np.asarray(synthesize_ground_truth(atlas, TEST_STRINGS), np.float32)
-    if gt.max() > 1.5:
-        gt = gt / 255.0
+    gt = unit_ground_truth(atlas, TEST_STRINGS)
     rec = {
         "end_to_end_neural_render_mse": float(np.mean((learned - gt) ** 2)),
         "engine_layout_oracle_mse": float(np.mean((oracle - gt) ** 2)),

@@ -22,7 +22,10 @@ import pytest
 
 from ai_font_renderer_tpu.cli import TEST_STRINGS
 from ai_font_renderer_tpu.config import FIRACODE_PATH, MONTSERRAT_PATH
-from ai_font_renderer_tpu.fontgen.dataset import synthesize_ground_truth
+from ai_font_renderer_tpu.fontgen.dataset import (
+    bake_font_atlas,
+    unit_ground_truth,
+)
 from ai_font_renderer_tpu.render.implicit_sheet import render_learned_sheets
 from ai_font_renderer_tpu.utils.checkpoint import (
     load_params_with_config,
@@ -38,16 +41,8 @@ CASES = {
 
 
 def _ground_truth(font_key: str, font_path: str) -> np.ndarray:
-    if font_key == "montserrat":
-        from ai_font_renderer_tpu.fontgen.proportional import bake_prop_atlas
-
-        atlas = bake_prop_atlas(font_path)
-    else:
-        from ai_font_renderer_tpu.fontgen import bake_atlas
-
-        atlas = bake_atlas(font_path)
-    gt = np.asarray(synthesize_ground_truth(atlas, TEST_STRINGS), np.float32)
-    return gt / 255.0 if gt.max() > 1.5 else gt
+    atlas = bake_font_atlas(font_path, proportional=font_key == "montserrat")
+    return unit_ground_truth(atlas, TEST_STRINGS)
 
 
 @pytest.mark.parametrize("font_key", sorted(CASES))

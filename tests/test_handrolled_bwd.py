@@ -128,16 +128,18 @@ def test_remat_frontend_step_matches_none(policy):
 
 
 def test_remat_frontend_rejects_unknown_policy():
-    tcfg = TrainConfig(handrolled_bwd=True, remat_frontend="bogus")
-    mcfg = ModelConfig(**SMALL)
-    params = font_renderer.init(jax.random.PRNGKey(0), mcfg)
-    st = TrainState(params, make_optimizer(tcfg).init(params))
-    codes = jnp.full((4, 24), 65, jnp.int32)
-    targets = jnp.zeros((4, 16, 48), jnp.float32)
+    # Validation fires at construction (TrainConfig.__post_init__), so a
+    # bad policy can never reach the step.
     with pytest.raises(ValueError, match="remat_frontend"):
-        _handrolled_step(
-            st, codes, targets, jnp.float32(1e-3), jax.random.key(1, impl="rbg"), mcfg, tcfg
-        )
+        TrainConfig(handrolled_bwd=True, remat_frontend="bogus")
+
+
+def test_remat_frontend_requires_handrolled_step():
+    # Under the default standard step the flag is never consumed; a config
+    # that sets it without handrolled_bwd would silently "measure" nothing,
+    # so construction rejects the combination.
+    with pytest.raises(ValueError, match="handrolled_bwd"):
+        TrainConfig(remat_frontend="dots")
 
 
 def test_handrolled_refuses_unsupported_configs():

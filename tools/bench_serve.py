@@ -49,7 +49,17 @@ def main() -> None:
     int8 = "--int8" in sys.argv
     fmt = "raw"
     if "--format" in sys.argv:
-        fmt = sys.argv[sys.argv.index("--format") + 1]
+        i = sys.argv.index("--format")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--format needs a value (raw|rle|zlib|bmp, comma-separated)")
+        fmt = sys.argv[i + 1]
+    else:
+        # --format=rle equals-form: catch it rather than silently
+        # benchmarking raw (the A/B would measure the wrong thing after
+        # the TPU warmup already ran).
+        eq = [a for a in sys.argv if a.startswith("--format=")]
+        if eq:
+            fmt = eq[-1].split("=", 1)[1]
     # Comma-separated formats run the A/B inside ONE process/server: each
     # TPU process claims the device, and back-to-back processes serialize
     # behind the previous claim's ~10 min stale-grant timeout (measured:

@@ -47,7 +47,10 @@ def main() -> int:
     from ai_font_renderer_tpu.cli import TEST_STRINGS, main as cli_main
     from ai_font_renderer_tpu.config import FIRACODE_PATH, MONTSERRAT_PATH
     from ai_font_renderer_tpu.fontgen.bmp import write_bmp
-    from ai_font_renderer_tpu.fontgen.dataset import synthesize_ground_truth
+    from ai_font_renderer_tpu.fontgen.dataset import (
+        bake_font_atlas,
+        unit_ground_truth,
+    )
     from ai_font_renderer_tpu.render.implicit_sheet import render_learned_sheets
     from ai_font_renderer_tpu.utils.checkpoint import (
         load_params_with_config,
@@ -88,17 +91,8 @@ def main() -> int:
             sp, pp, TEST_STRINGS, font_path, scfg, pcfg, charset=charset
         )
     )
-    if font_key == "montserrat":
-        from ai_font_renderer_tpu.fontgen.proportional import bake_prop_atlas
-
-        atlas = bake_prop_atlas(font_path)
-    else:
-        from ai_font_renderer_tpu.fontgen import bake_atlas
-
-        atlas = bake_atlas(font_path)
-    gt = np.asarray(synthesize_ground_truth(atlas, TEST_STRINGS), np.float32)
-    if gt.max() > 1.5:
-        gt = gt / 255.0
+    atlas = bake_font_atlas(font_path, proportional=font_key == "montserrat")
+    gt = unit_ground_truth(atlas, TEST_STRINGS)
     mse = float(np.mean((sheets - gt) ** 2))
 
     cases = {"pangram": TEST_STRINGS.index(PANGRAM), "string0": 0}
