@@ -44,7 +44,7 @@ def main() -> None:
         mcfg = ModelConfig()
         params = font_renderer.init(jax.random.PRNGKey(0), mcfg)
 
-    batch = 128 if os.environ.get("AFR_BENCH_SMOKE") else 2048  # sweet spot
+    batch = 128 if smoke else 2048  # sweet spot
     glyphs_per_sheet = mcfg.max_length  # 100-char sheets
     key = jax.random.PRNGKey(1)
     codes = jax.random.randint(key, (batch, mcfg.max_length), 65, 91, jnp.int32)
@@ -63,7 +63,7 @@ def main() -> None:
     out, c = fwd_chain(params, codes)
     jax.block_until_ready((out, c))
 
-    iters = 2 if os.environ.get("AFR_BENCH_SMOKE") else 50
+    iters = 2 if smoke else 50
     best_dt = float("inf")
     for _ in range(3):  # best of 3 measured windows
         t0 = time.perf_counter()
@@ -172,10 +172,10 @@ def main() -> None:
     ).astype(jnp.uint8)
     # Production epoch length: 150k samples, 80/20 split, batch 1024 ->
     # 117 train steps. Round 4's profiler trace proved a 20-step epoch
-    # over-charges each step ~1.6 ms of per-epoch dispatch+fetch overhead
+    # over-charges each step ~1.5 ms of per-epoch dispatch+fetch overhead
     # that amortizes at this length (RESULTS.md "The last 2.7 ms":
-    # 13.85 ms/step at 20 steps vs 12.26 at 117, same jit, same weights;
-    # device busy is 12.17). AFR_BENCH_SMOKE=1 shrinks everything for a
+    # 14.39 ms/step at 20 steps vs 12.85 at 117, same jit, same weights;
+    # device busy is 12.60). AFR_BENCH_SMOKE=1 shrinks everything for a
     # CPU plumbing check.
     steps = 4 if smoke else 117
     batch_idx = (

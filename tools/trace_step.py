@@ -13,6 +13,14 @@ Writes the raw trace under extended_runs/trace_<profile>/ and prints a
 JSON summary per profile: steps/sec from the timed scan, device busy ms
 per step, idle ms per step, and the top ops by self time.
 
+The traced window is `train_epoch` — the train-only scan, the SAME jit
+bench.py times — so every per-step number divides a window that contains
+exactly STEPS train steps (an earlier version traced train_eval_epoch,
+which appends a 2-batch eval scan; that charged eval device time to the
+train steps). The summary also re-measures the wall amortization pair
+(20 vs 117 steps, trace off) in-process, replacing the ad-hoc
+`longepoch_r4.log` measurement.
+
 Parsing: the trace-viewer JSON (`*.trace.json.gz`) jax.profiler writes
 alongside the xplane.pb — no tensorboard UI or TF protos needed (this
 image's tensorflow lacks `tensorflow.core.profiler.protobuf`).
@@ -33,11 +41,12 @@ import jax
 import jax.numpy as jnp
 
 from ai_font_renderer_tpu.config import ModelConfig, TrainConfig
-from ai_font_renderer_tpu.train.step import init_state, train_eval_epoch
+from ai_font_renderer_tpu.train.step import init_state, train_epoch
 
 from ab_profiles import PROFILES
 
 STEPS = 20
+LONG_STEPS = 117  # the production epoch length (bench.py's train section)
 
 
 def run_profile(name: str) -> dict:
@@ -49,28 +58,43 @@ def run_profile(name: str) -> dict:
     targets = jax.random.randint(
         key, (n, mcfg.sheet_height, mcfg.sheet_width), 0, 256, jnp.int32
     ).astype(jnp.uint8)
-    bi = jnp.arange(STEPS * b, dtype=jnp.int32).reshape(STEPS, b) % n
-    vi, vw = bi[:2], jnp.ones((2, b), jnp.float32)
     lr = jnp.float32(1e-3)
     skey = jax.random.key(1, impl=tcfg.prng_impl)
 
+    def epoch(st, steps, i):
+        bi = jnp.arange(steps * b, dtype=jnp.int32).reshape(steps, b) % n
+        return train_epoch(
+            st, codes, targets, bi, lr, jax.random.fold_in(skey, i), mcfg, tcfg
+        )
+
     st = init_state(jax.random.PRNGKey(0), mcfg, tcfg)
-    st, tl, _ = train_eval_epoch(st, codes, targets, bi, vi, vw, lr, skey, mcfg, tcfg)
+    st, tl = epoch(st, STEPS, 0)
     float(tl)  # compile + warm
 
     logdir = f"extended_runs/trace_{name}"
     t0 = time.perf_counter()
     with jax.profiler.trace(logdir):
-        st, tl, _ = train_eval_epoch(
-            st, codes, targets, bi, vi, vw, lr,
-            jax.random.fold_in(skey, 1), mcfg, tcfg,
-        )
+        st, tl = epoch(st, STEPS, 1)
         float(tl)
     wall = time.perf_counter() - t0
+
+    # Amortization pair, trace off: same jit at the microbench length and
+    # the production epoch length (the per-epoch dispatch + scalar-fetch
+    # cost through the remote tunnel divides by the step count).
+    walls = {}
+    for steps in (STEPS, LONG_STEPS):
+        st, tl = epoch(st, steps, 2)  # compile the long shape
+        float(tl)
+        t0 = time.perf_counter()
+        st, tl = epoch(st, steps, 3)
+        float(tl)
+        walls[steps] = round(1e3 * (time.perf_counter() - t0) / steps, 2)
+
     return {
         "profile": name,
         "logdir": logdir,
-        "wall_ms_per_step": round(1e3 * wall / STEPS, 2),
+        "wall_ms_per_step_traced": round(1e3 * wall / STEPS, 2),
+        "wall_ms_per_step": {f"steps={k}": v for k, v in walls.items()},
         **summarize_xspace(logdir),
     }
 
