@@ -358,3 +358,8 @@ def test_parse_tcp_forms():
     assert parse_tcp("nope") is None
     assert parse_tcp(":8080") is None
     assert parse_tcp("host:port") is None
+    # Port range + ASCII-digit validation: out-of-range and Unicode-digit
+    # ports fail the usage path instead of raising at bind time.
+    assert parse_tcp("host:65535") == ("host", 65535)
+    assert parse_tcp("host:65536") is None
+    assert parse_tcp("host:8\N{MATHEMATICAL DOUBLE-STRUCK DIGIT ZERO}") is None

@@ -380,3 +380,28 @@ def test_compressed_reply_matches_raw(server, fmt):
     header, comp = request_render(sock, strings, fmt=fmt)
     assert header["format"] == fmt and header["count"] == 3
     assert [bytes(c) for c in comp] == [bytes(r) for r in raw]
+
+
+def test_recv_msg_asymmetric_caps():
+    """Framing caps are asymmetric: the default 16 MB bounds what the
+    server will buffer for a request BEFORE the auth check; only the
+    client opts into the 64 MB cap when reading compressed reply blobs.
+    A frame length over the active cap raises instead of allocating."""
+    import socket
+    import struct
+
+    from ai_font_renderer_tpu.render.server import _recv_msg
+
+    a, b = socket.socketpair()
+    try:
+        a.sendall(struct.pack(">I", 17 << 20))
+        with pytest.raises(ValueError, match="oversized"):
+            _recv_msg(b)  # server-side default: 16 MB
+        a.sendall(struct.pack(">I", 5) + b"hello")
+        assert _recv_msg(b, cap=64 << 20) == b"hello"  # client reply cap
+        a.sendall(struct.pack(">I", (17 << 20) + 1))
+        with pytest.raises(ValueError, match="oversized"):
+            _recv_msg(b, cap=17 << 20)
+    finally:
+        a.close()
+        b.close()
