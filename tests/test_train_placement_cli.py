@@ -143,3 +143,32 @@ def test_init_from_recovers_and_guards_capacity(tmp_path):
                 "--out", str(tmp_path / "bad"),
             ]
         )
+
+
+def test_finetune_needs_a_full_batch(tmp_path):
+    """The fine-tune stage exits cleanly when the train split cannot fill
+    one 64-sample jitted batch (it used to pad by duplicating rows, which
+    silently skewed the pixel objective on tiny corpora)."""
+    sup = tmp_path / "sup"
+    rc = _run(
+        [
+            "--font", "firacode", "--samples", "240", "--batch", "64",
+            "--epochs", "1", "--line-head", "3", "--no-e2e",
+            "--out", str(sup),
+        ]
+    )
+    assert rc == 0
+    bank = tmp_path / "bank.npz"
+    _tiny_bank(bank)
+    with pytest.raises(SystemExit, match="64 train samples"):
+        _run(
+            [
+                "--font", "firacode", "--samples", "70", "--batch", "64",
+                "--epochs", "0", "--line-head", "3",
+                "--init-from", str(sup / "placement.npz"),
+                "--siren-from", str(bank),
+                "--finetune-joint", "--finetune-steps", "1",
+                "--finetune-samples", "64", "--ft-checkpoint-every", "0",
+                "--out", str(tmp_path / "ft"),
+            ]
+        )
