@@ -62,13 +62,10 @@ def _build_dataset(tcfg: TrainConfig, font: str, subset=None):
     ``subset``: synthesize only these corpus indices (monospace path; the
     proportional path synthesizes per-chunk and slices after).
     """
-    from .fontgen.ttf import TrueTypeFont
-    from .config import PRINTABLE_ASCII
+    from .fontgen.dataset import font_is_monospace
 
     print("Creating sheet dataset...")
-    f = TrueTypeFont.load(font)
-    advances = {f.advance(f.glyph_id(ord(c))) for c in PRINTABLE_ASCII}
-    if len(advances) == 1:
+    if font_is_monospace(font):
         from .fontgen import bake_atlas
         from .fontgen.dataset import build_device_dataset
 
@@ -133,9 +130,7 @@ def cmd_fontgen(args) -> int:
     import jax.numpy as jnp
 
     from .fontgen import write_bmp
-    from .fontgen.ttf import TrueTypeFont
     from .fontgen.textgen import generate_corpus
-    from .config import PRINTABLE_ASCII
 
     spec = SheetSpec()
     out = args.out
@@ -150,11 +145,9 @@ def cmd_fontgen(args) -> int:
     print(f"Saved all text data to {out}/data.txt")
 
     # Dispatch monospace (fixed-grid atlas) vs proportional (variant atlas).
-    f = TrueTypeFont.load(args.font)
-    monospace = (
-        len({f.advance(f.glyph_id(ord(c))) for c in PRINTABLE_ASCII}) == 1
-    )
-    if monospace:
+    from .fontgen.dataset import font_is_monospace
+
+    if font_is_monospace(args.font):
         from .fontgen import bake_atlas, make_synth_ops, synthesize_sheets
         from .fontgen.dataset import build_layouts
 
@@ -423,6 +416,12 @@ def parse_tcp(value: str) -> tuple[str, int] | None:
     if not host or not port.isascii() or not port.isdigit():
         return None
     if not 0 <= int(port) <= 65535:
+        return None
+    if host.endswith(":") and host != "::":
+        # A bare IPv6 address with NO port ('::1', '2001:db8::5') splits
+        # into a host ending in ':' — reject it here instead of failing
+        # with a raw getaddrinfo traceback at bind time. ('::' alone is
+        # the valid all-zeros address, e.g. ':::8080'.)
         return None
     if host.startswith("[") and host.endswith("]"):
         host = host[1:-1]
@@ -805,7 +804,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     try:
         args = parser.parse_args(argv)
-    except SystemExit:
+    except SystemExit as e:
+        if not e.code:
+            return 0  # --help/-h: argparse printed help; that's a success
         # argparse already printed its message; mirror the reference's
         # "unknown option -> usage + exit 1" behavior (model.py:440-443).
         print("Available options: --train")

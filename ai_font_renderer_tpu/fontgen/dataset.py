@@ -276,6 +276,25 @@ def synthesize_ground_truth(
     return np.concatenate(chunks, axis=0)
 
 
+def font_is_monospace(font_path: str, charset: str | None = None) -> bool:
+    """True when the fixed-grid pipeline is exact for ``font_path``:
+    one advance for every charset glyph AND no kern pairs (a
+    fixed-advance font that kerns would still need the proportional pen
+    walk). The one font-kind *detection*, shared by the CLI dispatch
+    sites; :func:`bake_font_atlas` is the matching atlas switch.
+    FiraCode: monospace (0 pairs); Montserrat: proportional (2533 pairs).
+    """
+    from ..config import PRINTABLE_ASCII, SheetSpec
+    from .kerning import KerningTable
+    from .ttf import TrueTypeFont
+
+    charset = charset or PRINTABLE_ASCII
+    font = TrueTypeFont.load(font_path)
+    if len({font.advance(font.glyph_id(ord(c))) for c in charset}) != 1:
+        return False
+    return len(KerningTable(font_path, charset, SheetSpec().font_size)) == 0
+
+
 def bake_font_atlas(font_path: str, proportional: bool = False):
     """Engine atlas for ``font_path``: the fixed-grid :class:`GlyphAtlas`
     by default, the proportional bearing/kerning atlas when
@@ -293,12 +312,12 @@ def bake_font_atlas(font_path: str, proportional: bool = False):
 
 def unit_ground_truth(atlas, strings: list[str]) -> np.ndarray:
     """float32 ground-truth sheets in [0, 1] for ``strings`` (either atlas
-    type): :func:`synthesize_ground_truth` plus the /255 normalization the
-    render-fidelity evaluations share (the host synthesizers return the
-    uint8-range grid; the device path already returns unit floats).
-    """
-    gt = np.asarray(synthesize_ground_truth(atlas, strings), np.float32)
-    return gt / 255.0 if gt.max() > 1.5 else gt
+    type). Every synthesizer path (host numpy oracles and the device
+    einsum) already returns unit-range floats quantized to the 8-bit grid
+    (round(x*255)/255), so this is :func:`synthesize_ground_truth` as a
+    plain np.float32 array — kept as the shared entry point for the
+    render-fidelity evaluations."""
+    return np.asarray(synthesize_ground_truth(atlas, strings), np.float32)
 
 
 def load_string_dataset(

@@ -143,6 +143,19 @@ def init(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
     }
 
 
+def init_frontend(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
+    """Frontend-only params (embedding/PE/MHA/LN/fc1) — the shared trunk.
+
+    Consumes RNG exactly like :func:`init`, so the frontend weights are
+    bit-identical to the full model's for a given key. Callers that need
+    no sheet decoder (models/placement.py) use this instead of init() to
+    avoid materializing the ~123M-param ``out_w`` just to drop it."""
+    keys = jax.random.split(key, 12)
+    e, h = cfg.embedding_dim, cfg.hidden_dim
+    xavier = (6.0 / (e + e)) ** 0.5
+    return _init_common(keys, cfg, e, h, xavier)
+
+
 def _init_common(keys, cfg: ModelConfig, e: int, h: int, xavier: float) -> dict:
     return {
         "embedding": jax.random.normal(keys[0], (cfg.vocab_size, e)),

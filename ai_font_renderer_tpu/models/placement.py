@@ -92,11 +92,9 @@ def init(
     if advances is not None and lines < 2:
         raise ValueError("the structured head requires lines >= 2")
     k_front, k_head = jax.random.split(key)
-    params = {
-        k: v
-        for k, v in font_renderer.init(k_front, cfg).items()
-        if not k.startswith("out_")  # drop the sheet decoder; keep frontend
-    }
+    # Frontend-only init: same weights as font_renderer.init for this key,
+    # without transiently materializing the ~0.5 GB sheet decoder.
+    params = dict(font_renderer.init_frontend(k_front, cfg))
     h = cfg.hidden_dim
     if advances is not None:
         n_out = 3 + lines
@@ -273,6 +271,7 @@ def apply(
     key: jax.Array | None = None,
     hard: bool = False,
     monotone: bool = False,
+    spec: SheetSpec = SheetSpec(),
 ) -> tuple[jax.Array, jax.Array]:
     """codes [B, S] -> (midpoints [B, S, 2] sheet px, visibility logits [B, S]).
 
@@ -303,7 +302,7 @@ def apply(
     if L == 0:
         return out[..., :2], out[..., 2]
     hard = hard or monotone
-    baselines = (jnp.arange(L, dtype=jnp.float32) + 1.0) * SheetSpec().line_height
+    baselines = (jnp.arange(L, dtype=jnp.float32) + 1.0) * spec.line_height
     if head_structured(params):
         xr, vlogit, llog = out[..., 0], out[..., 1], out[..., 3:]
         if monotone:
@@ -313,7 +312,7 @@ def apply(
             y = baselines[jnp.argmax(llog, axis=-1)]
         else:
             y = jax.nn.softmax(llog, axis=-1) @ baselines
-        px = structured_x(params, codes, out[..., 2], llog, hard=hard) + xr
+        px = structured_x(params, codes, out[..., 2], llog, spec, hard=hard) + xr
         return jnp.stack([px, y], axis=-1), vlogit
     llog = out[..., 2:]
     if monotone:
@@ -479,6 +478,7 @@ def loss_fn(
     contrib_tgt: jax.Array | None = None,
     detach_structure: bool = False,
     ce_w: jax.Array | None = None,
+    spec: SheetSpec = SheetSpec(),
 ) -> jax.Array:
     """Masked position loss (visible slots) + visibility BCE.
 
@@ -509,9 +509,9 @@ def loss_fn(
     visf = vis.astype(jnp.float32)
     n_vis = jnp.maximum(jnp.sum(visf), 1.0)
     L = head_lines(params)
-    lh = SheetSpec().line_height
+    lh = spec.line_height
     if L == 0:
-        pred_xy, logit = apply(params, codes, cfg, train=train, key=key)
+        pred_xy, logit = apply(params, codes, cfg, train=train, key=key, spec=spec)
         pos = jnp.sum(jnp.sum((pred_xy - mids) ** 2, -1) * visf) / n_vis
         terms = [(0, pos)]
     elif head_structured(params):
@@ -525,7 +525,9 @@ def loss_fn(
         logit = out[..., 1]
         llog = out[..., 3:]
         px = (
-            structured_x(params, codes, out[..., 2], llog, detach=detach_structure)
+            structured_x(
+                params, codes, out[..., 2], llog, spec, detach=detach_structure
+            )
             + out[..., 0]
         )
         pos_x = jnp.sum((px - mids[..., 0]) ** 2 * visf) / n_vis

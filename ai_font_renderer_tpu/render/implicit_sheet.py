@@ -74,18 +74,33 @@ def build_layout(
     )
 
 
+def font_kerning(font_path: str, charset: str, spec: SheetSpec = SheetSpec()):
+    """The font's GPOS/kern pair table for ``charset``, or None if empty.
+
+    Monospace fonts (FiraCode) carry no pairs, so callers can pass the
+    result unconditionally — layout stays byte-identical for them."""
+    from ..fontgen.kerning import KerningTable
+
+    k = KerningTable(font_path, charset, spec.font_size)
+    return k if len(k) else None
+
+
 def place_glyphs(
     strings: list[str],
     font: TrueTypeFont,
     lay: ImplicitLayout,
     spec: SheetSpec = SheetSpec(),
     charset: str = PRINTABLE_ASCII,
+    kerning=None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host-side layout -> fixed-shape instance arrays.
 
     Returns (char_ids [N, G], window origins [N, G, 2] (x, y) f32 in output
     sheet px, valid mask [N, G]). Layout happens at BASE scale so word wrap
     is identical at every output scale; positions then multiply by scale.
+    ``kerning`` (fontgen.kerning.KerningTable) enters both the wrap measure
+    and the pen walk, matching the proportional engine
+    (proportional.py:layout_prop_grid) and placement.placement_targets.
     """
     idx = {c: i for i, c in enumerate(charset)}
     adv_base = np.array(
@@ -94,7 +109,7 @@ def place_glyphs(
             for c in charset
         ]
     )
-    table = AdvanceTable(charset, adv_base)
+    table = AdvanceTable(charset, adv_base, kerning)
     G = lay.max_glyphs
     n = len(strings)
     ids = np.zeros((n, G), np.int32)
@@ -107,11 +122,17 @@ def place_glyphs(
         for li, line in enumerate(wrap_text(s, table, wrap_width)):
             baseline = (li + 1) * spec.line_height * lay.scale
             pen = spec.padding
+            prev = None
             for ch in line:
                 ci = idx.get(ch)
                 # Unknown chars advance like a space (AdvanceTable maps
                 # them to index 0 when measuring) but place no glyph.
                 adv_i = 0 if ci is None else ci
+                if prev is not None:
+                    # GPOS pair adjustment, same pen walk as the engine
+                    # (layout_prop_grid) and placement_targets.
+                    pen += table.kern(prev, ch)
+                prev = ch
                 if ci is not None and ch != " " and g < G:
                     # Window top-left so the glyph cell (advance-centered
                     # at bake time, glyphs.py:rasterize_charset) lands with
@@ -174,7 +195,8 @@ def render_learned_sheets(
     lay = build_layout(font, spec, cfg.cell, scale=scale, max_glyphs=pcfg.max_length)
     codes = jnp.asarray(encode_codes(strings, pcfg.max_length))
     mids, logits = placement.apply(
-        placement_params, codes, pcfg, train=False, hard=hard, monotone=monotone
+        placement_params, codes, pcfg, train=False, hard=hard,
+        monotone=monotone, spec=spec,
     )
     origins = origins_from_midpoints(mids, lay)
 
@@ -244,11 +266,18 @@ def render_implicit_sheets(
     spec: SheetSpec = SheetSpec(),
     scale: float = 1.0,
     charset: str = PRINTABLE_ASCII,
+    kerned: bool = True,
 ) -> np.ndarray:
-    """Strings -> [N, H*scale, W*scale] sheets from the implicit glyph bank."""
+    """Strings -> [N, H*scale, W*scale] sheets from the implicit glyph bank.
+
+    Kerned by default when the font carries pairs (Montserrat), matching
+    the bitmap engine; ``kerned=False`` reproduces the pre-fix unkerned
+    layout (the round-3 oracle rows were measured that way, RESULTS.md).
+    """
     font = TrueTypeFont.load(font_path)
     lay = build_layout(font, spec, cfg.cell, scale=scale)
-    ids, origins, valid = place_glyphs(strings, font, lay, spec, charset)
+    kern = font_kerning(font_path, charset, spec) if kerned else None
+    ids, origins, valid = place_glyphs(strings, font, lay, spec, charset, kern)
     return np.asarray(
         compose(
             params,

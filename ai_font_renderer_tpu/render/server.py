@@ -327,10 +327,28 @@ class RenderServer:
                     except OSError:  # includes ssl.SSLError + timeouts
                         return  # non-TLS/garbage client; drop quietly
                 while True:
-                    raw = _recv_msg(self.request)
+                    try:
+                        raw = _recv_msg(self.request)
+                    except (OSError, ValueError):
+                        # Idle >30s, oversized frame, or reset mid-read:
+                        # drop the connection quietly — any unauthenticated
+                        # peer can trigger these, so no traceback spam.
+                        return
                     if raw is None:
                         return
-                    req = json.loads(raw)
+                    try:
+                        req = json.loads(raw)
+                        if not isinstance(req, dict):
+                            raise ValueError("request must be a JSON object")
+                    except (ValueError, UnicodeDecodeError):
+                        try:
+                            _send_msg(
+                                self.request,
+                                json.dumps({"error": "malformed request"}).encode(),
+                            )
+                        except OSError:
+                            pass
+                        return
                     if token is not None and not hmac.compare_digest(
                         str(req.get("auth", "")), token
                     ):
@@ -472,14 +490,28 @@ def request_render(
         if auth_token is not None:
             req["auth"] = auth_token
         _send_msg(s, json.dumps(req).encode())
-        header = json.loads(_recv_msg(s))
+
+        def _or_raise(data):
+            if data is None:
+                raise ConnectionError(
+                    "server closed the connection mid-reply (restart, or "
+                    "its 60s reply window elapsed)"
+                )
+            return data
+
+        def recv_or_raise(**kw):
+            return _or_raise(_recv_msg(s, **kw))
+
+        header = json.loads(recv_or_raise())
         if "error" in header:
-            raise PermissionError(header["error"])
+            if header["error"] == "unauthorized":
+                raise PermissionError(header["error"])
+            raise ValueError(f"server rejected the request: {header['error']}")
         hw = header["height"] * header["width"]
         if fmt == "bmp":
-            payloads = [_recv_msg(s) for _ in range(header["count"])]
+            payloads = [recv_or_raise() for _ in range(header["count"])]
         elif fmt in ("rle", "zlib"):
-            comp = _recv_msg(s, cap=64 << 20)
+            comp = recv_or_raise(cap=64 << 20)
             if fmt == "rle":
                 flat = rle_decode(comp)
             else:
@@ -496,7 +528,7 @@ def request_render(
                 blob[i * hw : (i + 1) * hw] for i in range(header["count"])
             ]
         else:
-            blob = _recv_exact(s, header["count"] * hw)
+            blob = _or_raise(_recv_exact(s, header["count"] * hw))
             payloads = [
                 blob[i * hw : (i + 1) * hw] for i in range(header["count"])
             ]

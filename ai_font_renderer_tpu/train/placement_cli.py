@@ -521,6 +521,15 @@ def run(args, ap: argparse.ArgumentParser) -> int:
 
     bsz = args.batch
     steps_per_epoch = len(tr) // bsz
+    if args.epochs > 0 and steps_per_epoch == 0:
+        # Same guard the fine-tune phase has: a train split smaller than
+        # one batch would "train" zero steps per epoch and silently save
+        # the random init.
+        raise SystemExit(
+            f"--epochs {args.epochs} needs at least --batch ({bsz}) train "
+            f"samples per step (have {len(tr)} train strings); raise "
+            "--samples or lower --batch"
+        )
     key = jax.random.PRNGKey(7)
     for epoch in range(args.epochs):
         t0 = time.time()
@@ -623,13 +632,14 @@ def run(args, ap: argparse.ArgumentParser) -> int:
                 f"{args.finetune_samples}); raise --samples/--finetune-samples"
             )
         ft_strings = [strings[i] for i in tr[:ft_n]]
-        gt_ft = np.asarray(
-            synthesize_ground_truth(atlas, ft_strings, on_device=True),
-            np.float32,
+        # Unit-range floats from every synthesizer path (see
+        # dataset.unit_ground_truth).
+        gt_ft = jnp.asarray(
+            np.asarray(
+                synthesize_ground_truth(atlas, ft_strings, on_device=True),
+                np.float32,
+            )
         )
-        if gt_ft.max() > 1.5:
-            gt_ft = gt_ft / 255.0
-        gt_ft = jnp.asarray(gt_ft)
         lay = build_layout(
             _TTF.load(font_path), spec, scfg.cell, max_glyphs=pcfg.max_length
         )

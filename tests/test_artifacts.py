@@ -91,3 +91,37 @@ def test_committed_hlo_artifact_matches_checkpoints(font_key):
     )
     # uint8 rounding is the only permitted delta.
     assert np.max(np.abs(got - want)) <= (1.5 / 255.0)
+
+
+# Kerned tuned-bank engine-layout oracle, measured after the round-4
+# kerning fix (RESULTS.md "Kerned-oracle correction"): FiraCode 0.00293
+# (0 kern pairs), Montserrat 0.00567. Bounds ~1.4x.
+ORACLE_CASES = {
+    "firacode": (FIRACODE_PATH, 0.0042),
+    "montserrat": (MONTSERRAT_PATH, 0.008),
+}
+
+
+@pytest.mark.parametrize("font_key", sorted(ORACLE_CASES))
+def test_committed_bank_engine_layout_oracle(font_key):
+    """The committed tuned bank composed at KERNED engine-layout positions
+    stays within 1.4x of its measured oracle MSE — locks the
+    place_glyphs/render_implicit_sheets path (incl. the kerned pen walk)
+    the same way the learned-render lock covers placement.apply."""
+    from ai_font_renderer_tpu.render.implicit_sheet import (
+        render_implicit_sheets,
+    )
+
+    font_path, bound = ORACLE_CASES[font_key]
+    sp, scfg, charset = load_siren(
+        os.path.join(ART, font_key, "siren_finetuned.npz")
+    )
+    sheets = render_implicit_sheets(
+        sp, TEST_STRINGS, font_path, scfg, charset=charset
+    )
+    gt = _ground_truth(font_key, font_path)
+    mse = float(np.mean((np.asarray(sheets) - gt) ** 2))
+    assert mse < bound, (
+        f"{font_key} tuned-bank kerned oracle renders at MSE {mse:.5f} "
+        f"(lock {bound}); engine-layout composition path regressed"
+    )

@@ -363,3 +363,21 @@ def test_parse_tcp_forms():
     assert parse_tcp("host:65535") == ("host", 65535)
     assert parse_tcp("host:65536") is None
     assert parse_tcp("host:8\N{MATHEMATICAL DOUBLE-STRUCK DIGIT ZERO}") is None
+    # A bare IPv6 address with NO port must fail the usage path, not
+    # split at its last colon and bind to a garbage host.
+    assert parse_tcp("::1") is None
+    assert parse_tcp("2001:db8::5") is None
+    assert parse_tcp(":::8080") == ("::", 8080)  # all-zeros address
+
+
+def test_help_exits_zero(capsys):
+    """`afr --help` is a SUCCESS (exit 0 + help text), not the
+    reference's unknown-option usage-error path."""
+    from ai_font_renderer_tpu.cli import main
+
+    assert main(["--help"]) == 0
+    out = capsys.readouterr().out
+    assert "--train" in out and "Available options" not in out
+    # Unknown options keep the reference contract: usage + exit 1.
+    assert main(["--bogus"]) == 1
+    assert "Available options: --train" in capsys.readouterr().out

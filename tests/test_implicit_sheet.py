@@ -144,3 +144,49 @@ def test_empty_and_all_space_strings(trained):
     params, cfg = trained
     out = render_implicit_sheets(params, ["", "     "], FIRACODE_PATH, cfg, charset=CHARSET)
     np.testing.assert_array_equal(np.asarray(out), np.ones_like(out))
+
+
+def test_kerned_placement_matches_engine_targets():
+    """place_glyphs reproduces placement_targets' positions on the KERNED
+    proportional font — the invariant placement.py's docstring claims
+    ("identical numbers to implicit_sheet.place_glyphs"). Before the
+    round-4 fix, place_glyphs ignored GPOS kerning in both the wrap
+    measure and the pen walk, so the Montserrat engine-layout oracle was
+    laid out differently from the kerned ground truth."""
+    from ai_font_renderer_tpu.config import MONTSERRAT_PATH, PRINTABLE_ASCII
+    from ai_font_renderer_tpu.fontgen.layout import AdvanceTable
+    from ai_font_renderer_tpu.models.placement import placement_targets
+    from ai_font_renderer_tpu.render.implicit_sheet import font_kerning
+
+    spec = SheetSpec()
+    charset = PRINTABLE_ASCII
+    font = TrueTypeFont.load(MONTSERRAT_PATH)
+    kern = font_kerning(MONTSERRAT_PATH, charset, spec)
+    assert kern is not None and len(kern) > 0  # Montserrat kerns pairs
+    adv = np.array(
+        [
+            font.advance(font.glyph_id(ord(c))) * spec.font_size / font.units_per_em
+            for c in charset
+        ]
+    )
+    table = AdvanceTable(charset, adv, kern)
+    # Kerned pairs (AV, To, Ya, WA) plus a string long enough to wrap so a
+    # kerned measure() can change the break decision.
+    strings = [
+        "AVATAR WAVE TOYOTA",
+        "LAYAWAY PAYLOAD VAT TAVERN WAYWARD AVOCADO VOYAGE",
+    ]
+    mids, vis = placement_targets(strings, table, spec)
+
+    lay = build_layout(font, spec, cell=32)
+    ids, origins, valid = place_glyphs(strings, font, lay, spec, charset, kern)
+    for si in range(len(strings)):
+        tgt = mids[si][vis[si]]  # visible slots in original order
+        got_x = origins[si][valid[si], 0] + lay.cell_x_center * lay.r
+        got_y = origins[si][valid[si], 1] + lay.cell_baseline * lay.r
+        assert len(tgt) == valid[si].sum()
+        np.testing.assert_allclose(got_x, tgt[:, 0], atol=1e-4)
+        np.testing.assert_allclose(got_y, tgt[:, 1], atol=1e-4)
+    # And the kerning is load-bearing: the unkerned layout differs.
+    _, unkerned, _ = place_glyphs(strings, font, lay, spec, charset)
+    assert np.abs(unkerned - origins).max() > 0.1

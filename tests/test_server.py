@@ -405,3 +405,51 @@ def test_recv_msg_asymmetric_caps():
     finally:
         a.close()
         b.close()
+
+
+def test_malformed_request_gets_error_reply(server):
+    """Non-JSON and non-object frames get a clean error reply and a close —
+    not a handler traceback (any unauthenticated peer can send these)."""
+    import json
+    import socket
+    import struct
+
+    from ai_font_renderer_tpu.render.server import _recv_msg
+
+    _, sock, _ = server
+    for payload in (b"not json{", json.dumps(["a", "list"]).encode()):
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.connect(sock)
+            s.sendall(struct.pack(">I", len(payload)) + payload)
+            reply = _recv_msg(s)
+            assert reply is not None
+            assert json.loads(reply) == {"error": "malformed request"}
+            assert _recv_msg(s) is None  # server closed the connection
+
+
+def test_client_raises_connection_error_when_server_closes(tmp_path):
+    """request_render raises ConnectionError (not TypeError on a None
+    payload) when the server goes away mid-reply."""
+    import socket
+    import struct
+    import threading
+
+    sock_path = str(tmp_path / "dead.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(sock_path)
+    srv.listen(1)
+
+    def accept_and_drop():
+        conn, _ = srv.accept()
+        (n,) = struct.unpack(">I", conn.recv(4))
+        left = n
+        while left > 0:  # drain the request so close() sends FIN, not RST
+            left -= len(conn.recv(left))
+        conn.close()  # vanish before replying
+
+    t = threading.Thread(target=accept_and_drop, daemon=True)
+    t.start()
+    with pytest.raises(ConnectionError, match="mid-reply"):
+        request_render(sock_path, ["HELLO"])
+    t.join(timeout=5)
+    srv.close()

@@ -172,3 +172,17 @@ def test_finetune_needs_a_full_batch(tmp_path):
                 "--out", str(tmp_path / "ft"),
             ]
         )
+
+
+def test_supervised_needs_a_full_batch(tmp_path):
+    """The supervised phase exits cleanly when the train split is smaller
+    than one --batch (steps_per_epoch would be 0: every epoch a no-op and
+    the random init silently saved as 'trained')."""
+    with pytest.raises(SystemExit, match="train samples per step"):
+        _run(
+            [
+                "--font", "firacode", "--samples", "70", "--batch", "1024",
+                "--epochs", "1", "--line-head", "3", "--no-e2e",
+                "--out", str(tmp_path / "zero"),
+            ]
+        )
