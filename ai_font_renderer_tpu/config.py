@@ -55,6 +55,16 @@ class ModelConfig:
     num_heads: int = 4
     max_length: int = 100
     hidden_dim: int = 64
+    # Attention depth: number of (MHA -> residual -> post-LN) blocks in the
+    # frontend. 1 is the reference architecture (model.py:144-145 — a single
+    # block). Extra blocks repeat the same shape with their own weights
+    # (wq_b1..., ln_scale_b1...) BEFORE fc1 — the placement campaign's last
+    # untried architectural axis (width/schedule/objective were measured to a
+    # floor, VERDICT r4 #3): line-break decisions are multi-token reasoning
+    # a single attention hop must otherwise do in one shot. Checkpoints
+    # carry it in __config__; block-0 weights keep their flagship names so
+    # depth-1 files are unchanged.
+    num_blocks: int = 1
     dropout_rate: float = 0.2
     fc_dropout_rate: float = 0.25  # model.py:149 (DROPOUT_RATE + 0.05)
     sheet_height: int = 80

@@ -157,7 +157,7 @@ def init_frontend(key: jax.Array, cfg: ModelConfig = ModelConfig()) -> dict:
 
 
 def _init_common(keys, cfg: ModelConfig, e: int, h: int, xavier: float) -> dict:
-    return {
+    params = {
         "embedding": jax.random.normal(keys[0], (cfg.vocab_size, e)),
         "pos": cfg.pos_init_std * jax.random.normal(keys[1], (cfg.max_length, e)),
         "wq": _uniform(keys[2], (e, e), xavier),
@@ -173,6 +173,19 @@ def _init_common(keys, cfg: ModelConfig, e: int, h: int, xavier: float) -> dict:
         "fc1_w": _uniform(keys[6], (e, h), 1.0 / e**0.5),
         "fc1_b": _uniform(keys[7], (h,), 1.0 / e**0.5),
     }
+    # Extra attention blocks (cfg.num_blocks > 1) draw from keys[11] —
+    # untouched by the depth-1 path — so depth-1 init stays bit-identical
+    # to every shipped checkpoint and golden test.
+    for i in range(1, cfg.num_blocks):
+        bkeys = jax.random.split(jax.random.fold_in(keys[11], i), 4)
+        params[f"wq_b{i}"] = _uniform(bkeys[0], (e, e), xavier)
+        params[f"wk_b{i}"] = _uniform(bkeys[1], (e, e), xavier)
+        params[f"wv_b{i}"] = _uniform(bkeys[2], (e, e), xavier)
+        params[f"wo_b{i}"] = _uniform(bkeys[3], (e, e), 1.0 / e**0.5)
+        for b in ("bq", "bk", "bv", "bo", "ln_bias"):
+            params[f"{b}_b{i}"] = jnp.zeros((e,))
+        params[f"ln_scale_b{i}"] = jnp.ones((e,))
+    return params
 
 
 def param_count(params: dict) -> int:
@@ -199,6 +212,11 @@ def infer_model_config(params: dict, base: ModelConfig = ModelConfig()) -> Model
     kw["embedding_dim"] = int(e)
     kw["max_length"] = int(params["pos"].shape[0])
     kw["hidden_dim"] = int(params["fc1_w"].shape[1])
+    n_blocks = 1
+    while f"wq_b{n_blocks}" in params:
+        n_blocks += 1
+    if n_blocks > 1:
+        kw["num_blocks"] = n_blocks
     if int(e) != base.embedding_dim:
         kw["num_heads"] = max(1, int(e) // 8)
         print(
@@ -328,8 +346,14 @@ def features(
     B, S = codes.shape
     S = min(S, cfg.max_length)
     codes = codes[:, :S]
+    k_extra: list = [None] * (cfg.num_blocks - 1)
     if train:
-        k_emb, k_attn, k_fc = jax.random.split(key, 3)
+        if cfg.num_blocks == 1:  # the exact depth-1 key schedule, unchanged
+            k_emb, k_attn, k_fc = jax.random.split(key, 3)
+        else:
+            k_emb, k_attn, k_fc, *k_extra = jax.random.split(
+                key, 3 + cfg.num_blocks - 1
+            )
     else:
         k_emb = k_attn = k_fc = None
     dt = jnp.bfloat16 if cfg.bf16_frontend else jnp.float32
@@ -374,6 +398,22 @@ def features(
     x = _layer_norm(
         (x + attn).astype(jnp.float32), params["ln_scale"], params["ln_bias"]
     ).astype(dt)
+
+    # Depth: extra (MHA -> residual -> post-LN) blocks before fc1
+    # (cfg.num_blocks > 1; see config.py). The Pallas fused-attention
+    # paths cover block 0 only — extra blocks use the XLA attention,
+    # which is the measured winner at placement-frontend shapes anyway.
+    for i in range(1, cfg.num_blocks):
+        sub = {
+            k: params[f"{k}_b{i}"]
+            for k in ("wq", "wk", "wv", "wo", "bq", "bk", "bv", "bo")
+        }
+        a = attention(sub, x, cfg, train=train, key=k_extra[i - 1])
+        x = _layer_norm(
+            (x + a).astype(jnp.float32),
+            params[f"ln_scale_b{i}"],
+            params[f"ln_bias_b{i}"],
+        ).astype(dt)
 
     x = jax.nn.relu(x @ params["fc1_w"].astype(dt) + params["fc1_b"].astype(dt))
     return _dropout(x, cfg.fc_dropout_rate, k_fc, train, cfg.bits_dropout)

@@ -216,17 +216,13 @@ def render_learned_sheets(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "lay"))
-def compose(params, char_ids, origins, valid, cfg: siren.SirenConfig, lay: ImplicitLayout):
-    """Evaluate + composite all placed glyphs: ONE device call.
+def _window_geometry(origins, lay: ImplicitLayout):
+    """Per-glyph eval-window pixel geometry shared by the compose variants.
 
-    char_ids [N, G] int32, origins [N, G, 2] f32, valid [N, G] bool
-    -> sheets [N, H, W] f32 in [0, 1] (1 = white).
+    Returns (px, py, u, v): absolute window pixel centers [N, G, win, win]
+    and their cell-local coordinates in [-1, 1] (the SIREN input frame).
     """
-    N, G = char_ids.shape
     win, r, cell = lay.win, lay.r, lay.cell
-    H, W = lay.height, lay.width
-
     x0 = jnp.floor(origins[..., 0]).astype(jnp.int32)  # [N, G]
     y0 = jnp.floor(origins[..., 1]).astype(jnp.int32)
     jj, ii = jnp.meshgrid(jnp.arange(win), jnp.arange(win), indexing="xy")
@@ -237,11 +233,13 @@ def compose(params, char_ids, origins, valid, cfg: siren.SirenConfig, lay: Impli
     yc = (py - origins[..., 1, None, None]) / r
     u = xc / cell * 2.0 - 1.0
     v = yc / cell * 2.0 - 1.0
-    coords = jnp.stack([u, v], axis=-1).reshape(N * G, win * win, 2)
+    return px, py, u, v
 
-    cov = siren.apply(params, char_ids.reshape(N * G), coords, cfg)
-    cov = cov.reshape(N, G, win, win)
 
+def _composite(cov, px, py, u, v, valid, lay: ImplicitLayout):
+    """Scatter-add per-window coverage into white sheets: [N, H, W]."""
+    N = cov.shape[0]
+    H, W = lay.height, lay.width
     inside = (jnp.abs(u) <= 1.0) & (jnp.abs(v) <= 1.0)
     xi = (px - 0.5).astype(jnp.int32)
     yi = (py - 0.5).astype(jnp.int32)
@@ -256,6 +254,85 @@ def compose(params, char_ids, origins, valid, cfg: siren.SirenConfig, lay: Impli
         jnp.where(mask, cov, 0.0).ravel()
     )
     return jnp.clip(1.0 - ink.reshape(N, H, W), 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("cfg", "lay"))
+def compose(params, char_ids, origins, valid, cfg: siren.SirenConfig, lay: ImplicitLayout):
+    """Evaluate + composite all placed glyphs: ONE device call.
+
+    char_ids [N, G] int32, origins [N, G, 2] f32, valid [N, G] bool
+    -> sheets [N, H, W] f32 in [0, 1] (1 = white).
+    """
+    N, G = char_ids.shape
+    win = lay.win
+    px, py, u, v = _window_geometry(origins, lay)
+    coords = jnp.stack([u, v], axis=-1).reshape(N * G, win * win, 2)
+    cov = siren.apply(params, char_ids.reshape(N * G), coords, cfg)
+    return _composite(cov.reshape(N, G, win, win), px, py, u, v, valid, lay)
+
+
+def bake_bank(params, cfg: siren.SirenConfig, supersample: int = 4) -> jax.Array:
+    """Evaluate the SIREN bank once on a supersampled glyph grid.
+
+    Returns [n_chars, cell*ss, cell*ss] f32 coverage fields — the
+    amortized form :func:`compose_baked` samples from. One device call
+    (chunked so full-charset activations stay bounded)."""
+    import dataclasses
+
+    cfg_ss = dataclasses.replace(cfg, cell=cfg.cell * supersample)
+    return siren.render_atlas_chunked(params, cfg_ss, chunk=16)
+
+
+@partial(jax.jit, static_argnames=("cfg", "lay", "supersample"))
+def compose_baked(
+    baked,
+    char_ids,
+    origins,
+    valid,
+    cfg: siren.SirenConfig,
+    lay: ImplicitLayout,
+    supersample: int = 4,
+):
+    """Fast neural composition: bilinear-sample a pre-baked SIREN bank.
+
+    :func:`compose` re-evaluates the glyph MLP at every window pixel of
+    every placed glyph — ~5*hidden sin() transcendentals per pixel, which
+    round 2 measured as VPU-bound at ~45k glyphs/sec. This variant
+    evaluates the bank ONCE per bake (:func:`bake_bank`, 95 glyphs at
+    ``supersample``x cell resolution) and turns per-instance evaluation
+    into a 4-tap bilinear gather at each window pixel's exact subpixel
+    phase. The only approximation is bilinear resampling of a smooth
+    coverage field (the placement/compositing geometry is IDENTICAL —
+    same windows, same scatter); the measured quality delta at ss=4 on
+    the committed artifacts rides in RESULTS.md. The reference has no
+    neural-render counterpart (its atlas is the TTF rasterizer's,
+    generate_font.ts:29-60); this is the TPU answer to making the
+    all-neural path serve at production rates: MLP eval amortizes to
+    O(charset), per-glyph cost becomes pure HBM gathers.
+    """
+    N, G = char_ids.shape
+    cs = baked.shape[-1]
+    px, py, u, v = _window_geometry(origins, lay)
+    # Fractional baked-grid indices: baked pixel i holds the field at
+    # coordinate ((i + 0.5) / cs) * 2 - 1 (siren.grid_coords).
+    fx = (u + 1.0) * 0.5 * cs - 0.5
+    fy = (v + 1.0) * 0.5 * cs - 0.5
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, cs - 2)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, cs - 2)
+    wx = jnp.clip(fx - x0, 0.0, 1.0)
+    wy = jnp.clip(fy - y0, 0.0, 1.0)
+    c = char_ids[..., None, None]
+    v00 = baked[c, y0, x0]
+    v01 = baked[c, y0, x0 + 1]
+    v10 = baked[c, y0 + 1, x0]
+    v11 = baked[c, y0 + 1, x0 + 1]
+    cov = (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+    return _composite(cov, px, py, u, v, valid, lay)
 
 
 def render_implicit_sheets(

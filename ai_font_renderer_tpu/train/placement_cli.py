@@ -101,6 +101,18 @@ def add_args(ap: argparse.ArgumentParser) -> None:
         "given, else the flagship 4)",
     )
     ap.add_argument(
+        "--blocks",
+        type=int,
+        default=None,
+        metavar="B",
+        help="attention DEPTH: number of (MHA -> residual -> post-LN) "
+        "blocks in the placement frontend (default: the flagship 1). "
+        "The last untried architectural axis (VERDICT r4 #3): width, "
+        "restart schedule, and objective family measured to a ~0.0063 "
+        "floor on FiraCode, and the residual failure mode (line-break "
+        "decisions) is multi-token reasoning extra depth buys",
+    )
+    ap.add_argument(
         "--line-head",
         type=int,
         default=0,
@@ -298,6 +310,7 @@ def _placement_config(args, ap: argparse.ArgumentParser) -> ModelConfig:
             ("embed_dim", "embedding_dim"),
             ("hidden_dim", "hidden_dim"),
             ("heads", "num_heads"),
+            ("blocks", "num_blocks"),
         ):
             v = getattr(args, flag)
             if v is not None and v != getattr(pcfg, field):
@@ -316,6 +329,8 @@ def _placement_config(args, ap: argparse.ArgumentParser) -> ModelConfig:
         kw["num_heads"] = args.heads
     if args.hidden_dim is not None:
         kw["hidden_dim"] = args.hidden_dim
+    if args.blocks is not None:
+        kw["num_blocks"] = args.blocks
     return replace(pcfg, **kw) if kw else pcfg
 
 

@@ -34,6 +34,7 @@ _CONFIG_FIELDS = (
     "num_heads",
     "max_length",
     "hidden_dim",
+    "num_blocks",
     "sheet_height",
     "sheet_width",
     "decoder",

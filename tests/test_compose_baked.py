@@ -1,0 +1,64 @@
+"""compose_baked: bilinear sampling of a pre-baked SIREN bank.
+
+The fast neural-render path (render/implicit_sheet.py:compose_baked)
+must approximate the exact per-window MLP eval (compose) with error
+that vanishes as the bake supersample grows, and must share the exact
+compositing geometry (same windows, same scatter, same masks).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ai_font_renderer_tpu.config import FIRACODE_PATH, SheetSpec
+from ai_font_renderer_tpu.fontgen.ttf import TrueTypeFont
+from ai_font_renderer_tpu.models import siren
+from ai_font_renderer_tpu.render.implicit_sheet import (
+    bake_bank,
+    build_layout,
+    compose,
+    compose_baked,
+    place_glyphs,
+)
+
+STRINGS = ["HELLO WORLD", "The quick brown fox", "a b c"]
+
+
+def _setup(cell=32):
+    cfg = siren.SirenConfig(n_chars=95, cell=cell, hidden_dim=32, n_layers=2)
+    params = siren.init(jax.random.PRNGKey(0), cfg)
+    font = TrueTypeFont.load(FIRACODE_PATH)
+    lay = build_layout(font, SheetSpec(), cell=cell)
+    ids, origins, valid = place_glyphs(STRINGS, font, lay)
+    return cfg, params, lay, jnp.asarray(ids), jnp.asarray(origins), jnp.asarray(valid)
+
+
+def test_baked_converges_to_exact():
+    cfg, params, lay, ids, origins, valid = _setup()
+    exact = np.asarray(compose(params, ids, origins, valid, cfg, lay))
+    errs = []
+    for ss in (2, 8):
+        baked = bake_bank(params, cfg, supersample=ss)
+        approx = np.asarray(
+            compose_baked(baked, ids, origins, valid, cfg, lay, ss)
+        )
+        errs.append(np.abs(approx - exact).mean())
+    # Error strictly shrinks with supersample and is small at ss=8.
+    assert errs[1] < errs[0]
+    assert errs[1] < 5e-3, errs
+
+
+def test_baked_respects_masks():
+    cfg, params, lay, ids, origins, valid = _setup()
+    baked = bake_bank(params, cfg, supersample=2)
+    none = compose_baked(
+        baked, ids, origins, jnp.zeros_like(valid), cfg, lay, 2
+    )
+    # All-invalid -> pure white sheets.
+    assert float(jnp.min(none)) == 1.0
+
+
+def test_bake_bank_shape():
+    cfg, params, lay, *_ = _setup(cell=16)
+    baked = bake_bank(params, cfg, supersample=4)
+    assert baked.shape == (95, 64, 64)
