@@ -295,10 +295,12 @@ def cmd_render(args) -> int:
                 scale=args.scale, charset=charset,
                 hard=getattr(args, "hard_placement", False),
                 monotone=getattr(args, "monotone_placement", False),
+                baked=getattr(args, "baked", 0),
             )
         else:
             sheets = render_implicit_sheets(
-                sp, strings, args.font, scfg, scale=args.scale, charset=charset
+                sp, strings, args.font, scfg, scale=args.scale,
+                charset=charset, baked=getattr(args, "baked", 0),
             )
         os.makedirs(args.out, exist_ok=True)
         for i, sheet in enumerate(sheets):
@@ -614,6 +616,18 @@ def main(argv: list[str] | None = None) -> int:
             type=float,
             default=1.0,
             help="output resolution multiplier for --implicit renders",
+        )
+        p_ren.add_argument(
+            "--baked",
+            type=int,
+            default=0,
+            metavar="SS",
+            help="with --implicit: amortized fast path — bake the SIREN "
+            "bank once at SS-x supersampled cell resolution and composite "
+            "by bilinear gather at each window pixel's exact subpixel "
+            "phase instead of re-evaluating the glyph MLP per pixel "
+            "(render/implicit_sheet.py:compose_baked; ~1e-5 MSE delta at "
+            "SS=4, measured in RESULTS.md). 0 = exact per-window eval",
         )
         p_ren.add_argument(
             "--exported",

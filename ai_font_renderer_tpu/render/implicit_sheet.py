@@ -173,6 +173,7 @@ def render_learned_sheets(
     charset: str = PRINTABLE_ASCII,
     hard: bool = False,
     monotone: bool = False,
+    baked: int = 0,
 ) -> np.ndarray:
     """Fully neural strings -> sheets: NO layout engine in the loop.
 
@@ -211,6 +212,11 @@ def render_learned_sheets(
                 ids[si, ci] = k
                 known[si, ci] = True
     valid = jnp.asarray(known) & (jax.nn.sigmoid(logits) > 0.5)
+    if baked:
+        bank = bake_bank(siren_params, cfg, supersample=baked)
+        return np.asarray(
+            compose_baked(bank, jnp.asarray(ids), origins, valid, cfg, lay, baked)
+        )
     return np.asarray(
         compose(siren_params, jnp.asarray(ids), origins, valid, cfg, lay)
     )
@@ -283,6 +289,85 @@ def bake_bank(params, cfg: siren.SirenConfig, supersample: int = 4) -> jax.Array
     return siren.render_atlas_chunked(params, cfg_ss, chunk=16)
 
 
+@partial(jax.jit, static_argnames=("cfg", "lay", "phases"))
+def bake_bank_phased(
+    params, cfg: siren.SirenConfig, lay: ImplicitLayout, phases: int = 8
+) -> jax.Array:
+    """Bake every glyph at every subpixel PHASE of the composite window.
+
+    Key geometry fact (see :func:`compose`): a window pixel's cell-local
+    coordinate is ((j + 0.5 - frac(origin)) / r), i.e. the evaluated
+    field depends only on the origin's FRACTIONAL part — not on where
+    the window lands on the sheet. So the entire per-instance SIREN
+    evaluation collapses to a finite table: [n_chars, P, P, win, win]
+    coverage blocks, phase (pi, pj) holding the field for an instance
+    whose origin fraction is (pj/P, pi/P). One device call; for the
+    shipped artifacts (win 13, P=8) the table is ~4 MB and costs ~6x
+    FEWER MLP evaluations than one ss4 full-resolution bake.
+    """
+    win, r, cell = lay.win, lay.r, lay.cell
+    C = cfg.n_chars
+    P = phases
+    f = jnp.arange(P, dtype=jnp.float32) / P  # origin fractions
+    j = jnp.arange(win, dtype=jnp.float32) + 0.5
+    # xc[pj, j] = (j + 0.5 - f_pj) / r  -> u in [-1, 1]
+    xc = (j[None, :] - f[:, None]) / r
+    u = xc / cell * 2.0 - 1.0  # [P, win]
+    uu = jnp.broadcast_to(u[None, :, None, :], (P, P, win, win))  # [pi,pj,i,j]
+    vv = jnp.broadcast_to(u[:, None, :, None], (P, P, win, win))
+    coords = jnp.stack([uu, vv], axis=-1).reshape(1, P * P * win * win, 2)
+    coords = jnp.broadcast_to(coords, (C, P * P * win * win, 2))
+    vals = siren.apply(params, jnp.arange(C), coords, cfg)
+    return vals.reshape(C, P, P, win, win)
+
+
+@partial(jax.jit, static_argnames=("cfg", "lay", "phases", "onehot"))
+def compose_phased(
+    baked,
+    char_ids,
+    origins,
+    valid,
+    cfg: siren.SirenConfig,
+    lay: ImplicitLayout,
+    phases: int = 8,
+    onehot: bool = False,
+):
+    """Composite from a phase-binned bake: whole-block fetch per glyph.
+
+    The TPU-native fast path. :func:`compose_baked`'s 4-tap bilinear
+    gather is a measured TPU NEGATIVE (per-element gathers serialize in
+    the gather unit; RESULTS.md round 5) — this variant instead quantizes
+    each instance's origin to the 1/P-px phase grid and fetches its
+    ENTIRE [win, win] pre-evaluated coverage block by leading-axis index
+    (``onehot=True`` converts even that gather into a one-hot x table
+    GEMM on the MXU). Approximation vs exact compose: glyph positions
+    quantize to 1/P px (P=8 -> <=1/16 px shift, below the bank's own
+    fidelity); the compositing scatter is IDENTICAL.
+    """
+    N, G = char_ids.shape
+    win = lay.win
+    P = phases
+    C = baked.shape[0]
+    # Quantize origins to the phase grid, then split integer/fraction so
+    # the fraction is exactly a bin index (no wrap case at f -> 1).
+    oq = jnp.round(origins * P) / P
+    o0 = jnp.floor(oq)
+    bins = jnp.round((oq - o0) * P).astype(jnp.int32) % P  # [N, G, 2]
+    px, py, u, v = _window_geometry(oq, lay)
+    idx = (char_ids * P + bins[..., 1]) * P + bins[..., 0]  # [N, G]
+    flatb = baked.reshape(C * P * P, win * win)
+    if onehot:
+        oh = jax.nn.one_hot(idx.reshape(-1), C * P * P, dtype=jnp.bfloat16)
+        cov = jnp.dot(
+            oh, flatb.astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
+    else:
+        cov = jnp.take(flatb, idx.reshape(-1), axis=0)
+    return _composite(
+        cov.reshape(N, G, win, win), px, py, u, v, valid, lay
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "lay", "supersample"))
 def compose_baked(
     baked,
@@ -344,17 +429,28 @@ def render_implicit_sheets(
     scale: float = 1.0,
     charset: str = PRINTABLE_ASCII,
     kerned: bool = True,
+    baked: int = 0,
 ) -> np.ndarray:
     """Strings -> [N, H*scale, W*scale] sheets from the implicit glyph bank.
 
     Kerned by default when the font carries pairs (Montserrat), matching
     the bitmap engine; ``kerned=False`` reproduces the pre-fix unkerned
     layout (the round-3 oracle rows were measured that way, RESULTS.md).
+    ``baked=SS`` uses the amortized fast path (:func:`compose_baked` over
+    a once-baked SS-supersampled bank) instead of exact per-window eval.
     """
     font = TrueTypeFont.load(font_path)
     lay = build_layout(font, spec, cfg.cell, scale=scale)
     kern = font_kerning(font_path, charset, spec) if kerned else None
     ids, origins, valid = place_glyphs(strings, font, lay, spec, charset, kern)
+    if baked:
+        bank = bake_bank(params, cfg, supersample=baked)
+        return np.asarray(
+            compose_baked(
+                bank, jnp.asarray(ids), jnp.asarray(origins),
+                jnp.asarray(valid), cfg, lay, baked,
+            )
+        )
     return np.asarray(
         compose(
             params,

@@ -282,6 +282,20 @@ def add_args(ap: argparse.ArgumentParser) -> None:
         "batch schedule is a deterministic function of the step index, so "
         "a resumed run replays the exact uninterrupted trajectory",
     )
+    ap.add_argument(
+        "--mesh",
+        type=int,
+        default=None,
+        metavar="DATA",
+        help="data-parallel ways: shard every training batch over a "
+        "DATA-device mesh axis (placement params replicate — the net is "
+        "small; the 123M-param sheet decoder never materializes here). "
+        "Applies to the supervised loop, the eval pass, and the pixel/"
+        "joint fine-tune steps. GSPMD inserts the gradient all-reduce; "
+        "the same code path runs single-device when omitted (VERDICT r4 "
+        "#4: every trainer on the product surface shards like the "
+        "flagship's --mesh DATA,MODEL)",
+    )
     ap.add_argument("--out", default=None)
     ap.add_argument("--e2e-steps", type=int, default=3000)
     ap.add_argument("--no-e2e", action="store_true")
@@ -334,6 +348,77 @@ def _placement_config(args, ap: argparse.ArgumentParser) -> ModelConfig:
     return replace(pcfg, **kw) if kw else pcfg
 
 
+def _dp_shardings(mesh):
+    """(replicated, batch-sharded) NamedShardings for a (data, model) mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    return NamedSharding(mesh, P()), NamedSharding(mesh, P(DATA_AXIS))
+
+
+def make_supervised_step(pcfg, opt, detach_structure=False, mesh=None):
+    """The jitted supervised placement step, optionally DP-sharded.
+
+    With ``mesh`` (a parallel.mesh make_mesh result): params/optimizer
+    state replicate, every [B, ...] batch operand shards over the data
+    axis, and GSPMD inserts the gradient all-reduce — the same
+    annotate-don't-communicate pattern as the flagship trainer
+    (train/loop.py). ``mesh=None`` is the identical single-device jit the
+    campaign always ran. Shared by the CLI, the virtual-mesh tests, and
+    the driver's dryrun sub-check so all three exercise one code path.
+    """
+    import jax
+    import optax
+
+    from ..models import placement
+
+    def _step(params, opt_state, c, m, v, lt, ct, cw, key):
+        # lt/ct/cw are None (empty pytrees under jit) when the head or
+        # flag doesn't use them; loss_fn dispatches on the params' own
+        # head mode.
+        loss, grads = jax.value_and_grad(placement.loss_fn)(
+            params, c, m, v, pcfg, key=key, train=True, line_tgt=lt,
+            contrib_tgt=ct, detach_structure=detach_structure, ce_w=cw,
+        )
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    if mesh is None:
+        return jax.jit(_step)
+    rep, dp = _dp_shardings(mesh)
+    return jax.jit(
+        _step,
+        in_shardings=(rep, rep, dp, dp, dp, dp, dp, dp, rep),
+        out_shardings=(rep, rep, None),
+    )
+
+
+def make_finetune_step(pixel_loss, ft_opt, mesh=None):
+    """The jitted pixel/joint fine-tune step, optionally DP-sharded.
+
+    ``tunable`` (placement params, or (placement, siren) under
+    --finetune-joint) replicates; the per-step sheet batch (codes, glyph
+    ids, validity, ground truth) shards over the data axis.
+    """
+    import jax
+    import optax
+
+    def _ft_step(t, st, c, ids, valid, gt):
+        loss, grads = jax.value_and_grad(pixel_loss)(t, c, ids, valid, gt)
+        updates, st = ft_opt.update(grads, st)
+        return optax.apply_updates(t, updates), st, loss
+
+    if mesh is None:
+        return jax.jit(_ft_step)
+    rep, dp = _dp_shardings(mesh)
+    return jax.jit(
+        _ft_step,
+        in_shardings=(rep, rep, dp, dp, dp, dp),
+        out_shardings=(rep, rep, None),
+    )
+
+
 def run(args, ap: argparse.ArgumentParser) -> int:
     """Execute the full train-placement pipeline for parsed ``args``."""
     import jax
@@ -358,6 +443,25 @@ def run(args, ap: argparse.ArgumentParser) -> int:
         ap.error("--structured requires --line-head L (L >= 2)")
     if args.break_ce_boost > 0 and args.line_head < 2:
         ap.error("--break-ce-boost weights a line CE; needs --line-head")
+
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        from ..parallel.mesh import make_mesh
+
+        if args.batch % args.mesh:
+            ap.error(
+                f"--batch {args.batch} not divisible by --mesh {args.mesh}"
+            )
+        if args.finetune_steps > 0 and 64 % args.mesh:
+            ap.error(
+                f"--mesh {args.mesh} must divide the fine-tune batch (64)"
+            )
+        mesh = make_mesh(data=args.mesh, model=1)
+        print(
+            f"mesh: {args.mesh}-way data parallel over "
+            f"{mesh.devices.size} devices",
+            flush=True,
+        )
 
     from ..fontgen.textgen import generate_corpus
 
@@ -500,21 +604,9 @@ def run(args, ap: argparse.ArgumentParser) -> int:
     opt = optax.adamw(lr, weight_decay=1e-4)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, opt_state, c, m, v, lt, ct, cw, key):
-        # lt/ct/cw are None (empty pytrees under jit) when the head or
-        # flag doesn't use them; loss_fn dispatches on the params' own
-        # head mode.
-        loss, grads = jax.value_and_grad(placement.loss_fn)(
-            params, c, m, v, pcfg, key=key, train=True, line_tgt=lt,
-            contrib_tgt=ct, detach_structure=args.detach_structure,
-            ce_w=cw,
-        )
-        updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    step = make_supervised_step(pcfg, opt, args.detach_structure, mesh)
 
-    @jax.jit
-    def evaluate(params, c, m, v):
+    def _evaluate(params, c, m, v):
         xy, logit = placement.apply(params, c, pcfg, train=False)
         vf = v.astype(jnp.float32)
         n = jnp.maximum(vf.sum(), 1.0)
@@ -533,6 +625,12 @@ def run(args, ap: argparse.ArgumentParser) -> int:
         else:
             lacc = jnp.zeros(())
         return rmse, worst, acc, lacc
+
+    if mesh is None:
+        evaluate = jax.jit(_evaluate)
+    else:
+        rep, dp = _dp_shardings(mesh)
+        evaluate = jax.jit(_evaluate, in_shardings=(rep, dp, dp, dp))
 
     bsz = args.batch
     steps_per_epoch = len(tr) // bsz
@@ -561,7 +659,8 @@ def run(args, ap: argparse.ArgumentParser) -> int:
                 cw, sub
             )
             loss_sum += float(loss)
-        vi = jnp.asarray(va[:4096])
+        n_eval = 4096 if mesh is None else 4096 // args.mesh * args.mesh
+        vi = jnp.asarray(va[:n_eval])
         rmse, worst, acc, lacc = evaluate(params, codes[vi], mids[vi], vis[vi])
         rec = {
             "epoch": epoch,
@@ -691,12 +790,7 @@ def run(args, ap: argparse.ArgumentParser) -> int:
         ft_opt = optax.adam(ft_lr)
         tunable = (params, sp) if args.finetune_joint else params
         ft_state = ft_opt.init(tunable)
-
-        @jax.jit
-        def ft_step(t, st, c, ids, valid, gt):
-            loss, grads = jax.value_and_grad(pixel_loss)(t, c, ids, valid, gt)
-            updates, st = ft_opt.update(grads, st)
-            return optax.apply_updates(t, updates), st, loss
+        ft_step = make_finetune_step(pixel_loss, ft_opt, mesh)
 
         bs = 64
         first_px = last_px = None

@@ -62,3 +62,55 @@ def test_bake_bank_shape():
     cfg, params, lay, *_ = _setup(cell=16)
     baked = bake_bank(params, cfg, supersample=4)
     assert baked.shape == (95, 64, 64)
+
+
+def test_phased_converges_to_exact():
+    from ai_font_renderer_tpu.render.implicit_sheet import (
+        bake_bank_phased,
+        compose_phased,
+    )
+
+    cfg, params, lay, ids, origins, valid = _setup()
+    exact = np.asarray(compose(params, ids, origins, valid, cfg, lay))
+    errs = []
+    for P in (2, 16):
+        baked = bake_bank_phased(params, cfg, lay, phases=P)
+        assert baked.shape == (95, P, P, lay.win, lay.win)
+        approx = np.asarray(
+            compose_phased(baked, ids, origins, valid, cfg, lay, P)
+        )
+        errs.append(np.abs(approx - exact).mean())
+    assert errs[1] < errs[0]
+    assert errs[1] < 5e-3, errs
+
+
+def test_phased_onehot_matches_take():
+    from ai_font_renderer_tpu.render.implicit_sheet import (
+        bake_bank_phased,
+        compose_phased,
+    )
+
+    cfg, params, lay, ids, origins, valid = _setup()
+    baked = bake_bank_phased(params, cfg, lay, phases=4)
+    a = np.asarray(compose_phased(baked, ids, origins, valid, cfg, lay, 4))
+    b = np.asarray(
+        compose_phased(baked, ids, origins, valid, cfg, lay, 4, onehot=True)
+    )
+    # The one-hot fetch runs the table read as a bf16 GEMM: identical
+    # selection, bf16 rounding of the coverage values only.
+    assert np.abs(a - b).max() < 1e-2
+    np.testing.assert_allclose(a, b, atol=1e-2)
+
+
+def test_phased_respects_masks():
+    from ai_font_renderer_tpu.render.implicit_sheet import (
+        bake_bank_phased,
+        compose_phased,
+    )
+
+    cfg, params, lay, ids, origins, valid = _setup()
+    baked = bake_bank_phased(params, cfg, lay, phases=2)
+    none = compose_phased(
+        baked, ids, origins, jnp.zeros_like(valid), cfg, lay, 2
+    )
+    assert float(jnp.min(none)) == 1.0

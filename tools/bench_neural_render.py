@@ -52,9 +52,11 @@ from ai_font_renderer_tpu.fontgen.ttf import TrueTypeFont
 from ai_font_renderer_tpu.models import placement
 from ai_font_renderer_tpu.render.implicit_sheet import (
     bake_bank,
+    bake_bank_phased,
     build_layout,
     compose,
     compose_baked,
+    compose_phased,
     font_kerning,
     origins_from_midpoints,
     place_glyphs,
@@ -172,6 +174,39 @@ def main() -> None:
             lambda o, b=baked, s=ss: compose_baked(b, ids, o, valid, scfg, lay, s),
             lambda b=baked, s=ss: compose_baked(
                 b, t_ids, t_org, t_val, scfg, lay, s
+            ),
+        )
+
+    # 3b. Phase-binned bake (the TPU-native fast path): whole-block
+    # fetch per glyph instead of per-pixel gathers; `onehot` converts
+    # the block fetch itself into an MXU GEMM.
+    for P in (8, 16):
+        t0 = time.perf_counter()
+        pbaked = bake_bank_phased(sp, scfg, lay, phases=P)
+        jax.block_until_ready(pbaked)
+        emit(
+            {
+                "bake": f"phased_p{P}",
+                "bake_seconds": round(time.perf_counter() - t0, 3),
+                "baked_mb": round(pbaked.size * 4 / 1e6, 1),
+            }
+        )
+        run_variant(
+            f"phased_p{P}",
+            lambda o, b=pbaked, p=P: compose_phased(
+                b, ids, o, valid, scfg, lay, p
+            ),
+            lambda b=pbaked, p=P: compose_phased(
+                b, t_ids, t_org, t_val, scfg, lay, p
+            ),
+        )
+        run_variant(
+            f"phased_p{P}_onehot",
+            lambda o, b=pbaked, p=P: compose_phased(
+                b, ids, o, valid, scfg, lay, p, onehot=True
+            ),
+            lambda b=pbaked, p=P: compose_phased(
+                b, t_ids, t_org, t_val, scfg, lay, p, onehot=True
             ),
         )
 
