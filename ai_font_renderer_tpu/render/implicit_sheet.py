@@ -289,6 +289,48 @@ def bake_bank(params, cfg: siren.SirenConfig, supersample: int = 4) -> jax.Array
     return siren.render_atlas_chunked(params, cfg_ss, chunk=16)
 
 
+def _composite_matmul(cov, x0, y0, valid, lay: ImplicitLayout, dt=jnp.bfloat16):
+    """MXU composite: place every window block by one-hot positioning GEMMs.
+
+    The scatter-add composite (:func:`_composite`) serializes on TPU
+    (measured ~100 ms for a 256-sheet batch once the MLP is amortized
+    away — the new bottleneck after the phased bake). This reformulates
+    placement as matmuls: R[n,g,h,i] one-hot of each block's row offset,
+    C[n,g,j,w] of its column offset; then
+
+        sheet[n] = sum_g R[n,g] @ cov[n,g] @ C[n,g]
+                 = (A reshaped [n, h, g*win]) @ (C reshaped [n, g*win, w])
+
+    — the sum over glyphs rides the second contraction, so nothing
+    [N, G, H, W]-sized ever materializes. Off-screen rows/cols simply
+    have no one-hot hit; ``cov`` must already be zero outside the glyph
+    cell (bake_bank_phased bakes that mask in) and invalid slots are
+    zeroed here. One-hots are exact in bf16; accumulation is f32.
+    """
+    N, G, win, _ = cov.shape
+    H, W = lay.height, lay.width
+    i = jnp.arange(win)
+    R = (
+        jnp.arange(H)[None, None, :, None]
+        == (y0[..., None, None] + i[None, None, None, :])
+    ).astype(dt)  # [N, G, H, win]
+    C = (
+        jnp.arange(W)[None, None, None, :]
+        == (x0[..., None, None] + i[None, None, :, None])
+    ).astype(dt)  # [N, G, win, W]
+    covm = jnp.where(valid[..., None, None], cov, 0.0).astype(dt)
+    A = jnp.einsum(
+        "nghi,ngij->nghj", R, covm, preferred_element_type=jnp.float32
+    ).astype(dt)
+    ink = jnp.einsum(
+        "nghj,ngjw->nhw",
+        A.reshape(N, G, H, win),
+        C,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.clip(1.0 - ink, 0.0, 1.0)
+
+
 @partial(jax.jit, static_argnames=("cfg", "lay", "phases"))
 def bake_bank_phased(
     params, cfg: siren.SirenConfig, lay: ImplicitLayout, phases: int = 8
@@ -318,10 +360,16 @@ def bake_bank_phased(
     coords = jnp.stack([uu, vv], axis=-1).reshape(1, P * P * win * win, 2)
     coords = jnp.broadcast_to(coords, (C, P * P * win * win, 2))
     vals = siren.apply(params, jnp.arange(C), coords, cfg)
-    return vals.reshape(C, P, P, win, win)
+    # Zero outside the glyph cell: the composite then needs no inside
+    # mask (required by the matmul composite, idempotent for scatter).
+    inside = (jnp.abs(uu) <= 1.0) & (jnp.abs(vv) <= 1.0)
+    vals = vals.reshape(C, P, P, win, win) * inside[None].astype(vals.dtype)
+    return vals
 
 
-@partial(jax.jit, static_argnames=("cfg", "lay", "phases", "onehot"))
+@partial(
+    jax.jit, static_argnames=("cfg", "lay", "phases", "onehot", "composite")
+)
 def compose_phased(
     baked,
     char_ids,
@@ -331,6 +379,7 @@ def compose_phased(
     lay: ImplicitLayout,
     phases: int = 8,
     onehot: bool = False,
+    composite: str = "scatter",
 ):
     """Composite from a phase-binned bake: whole-block fetch per glyph.
 
@@ -353,7 +402,6 @@ def compose_phased(
     oq = jnp.round(origins * P) / P
     o0 = jnp.floor(oq)
     bins = jnp.round((oq - o0) * P).astype(jnp.int32) % P  # [N, G, 2]
-    px, py, u, v = _window_geometry(oq, lay)
     idx = (char_ids * P + bins[..., 1]) * P + bins[..., 0]  # [N, G]
     flatb = baked.reshape(C * P * P, win * win)
     if onehot:
@@ -363,9 +411,14 @@ def compose_phased(
         )
     else:
         cov = jnp.take(flatb, idx.reshape(-1), axis=0)
-    return _composite(
-        cov.reshape(N, G, win, win), px, py, u, v, valid, lay
-    )
+    cov = cov.reshape(N, G, win, win)
+    if composite == "matmul":
+        return _composite_matmul(
+            cov, o0[..., 0].astype(jnp.int32), o0[..., 1].astype(jnp.int32),
+            valid, lay,
+        )
+    px, py, u, v = _window_geometry(oq, lay)
+    return _composite(cov, px, py, u, v, valid, lay)
 
 
 @partial(jax.jit, static_argnames=("cfg", "lay", "supersample"))

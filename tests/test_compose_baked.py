@@ -102,6 +102,34 @@ def test_phased_onehot_matches_take():
     np.testing.assert_allclose(a, b, atol=1e-2)
 
 
+def test_phased_matmul_matches_scatter():
+    from ai_font_renderer_tpu.render.implicit_sheet import (
+        bake_bank_phased,
+        compose_phased,
+    )
+
+    cfg, params, lay, ids, origins, valid = _setup()
+    baked = bake_bank_phased(params, cfg, lay, phases=8)
+    sc = np.asarray(compose_phased(baked, ids, origins, valid, cfg, lay, 8))
+    mm = np.asarray(
+        compose_phased(
+            baked, ids, origins, valid, cfg, lay, 8, composite="matmul"
+        )
+    )
+    # Same blocks, same placements; the matmul path rounds coverage to
+    # bf16 inside the positioning GEMMs.
+    assert np.abs(mm - sc).max() < 2e-2
+    np.testing.assert_allclose(mm, sc, atol=2e-2)
+    # And with half the sheet invalidated, the two paths still agree —
+    # the valid mask is applied pre-GEMM.
+    v2 = valid.at[:, ::2].set(False)
+    sc2 = np.asarray(compose_phased(baked, ids, origins, v2, cfg, lay, 8))
+    mm2 = np.asarray(
+        compose_phased(baked, ids, origins, v2, cfg, lay, 8, composite="matmul")
+    )
+    assert np.abs(mm2 - sc2).max() < 2e-2
+
+
 def test_phased_respects_masks():
     from ai_font_renderer_tpu.render.implicit_sheet import (
         bake_bank_phased,

@@ -209,6 +209,15 @@ def main() -> None:
                 b, t_ids, t_org, t_val, scfg, lay, p, onehot=True
             ),
         )
+        run_variant(
+            f"phased_p{P}_matmul",
+            lambda o, b=pbaked, p=P: compose_phased(
+                b, ids, o, valid, scfg, lay, p, composite="matmul"
+            ),
+            lambda b=pbaked, p=P: compose_phased(
+                b, t_ids, t_org, t_val, scfg, lay, p, composite="matmul"
+            ),
+        )
 
     # 4. Full learned pipeline (placement net + exact compose): the
     # headline capability end to end, codes -> sheets.
