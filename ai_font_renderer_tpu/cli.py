@@ -296,11 +296,13 @@ def cmd_render(args) -> int:
                 hard=getattr(args, "hard_placement", False),
                 monotone=getattr(args, "monotone_placement", False),
                 baked=getattr(args, "baked", 0),
+                phased=getattr(args, "phased", 0),
             )
         else:
             sheets = render_implicit_sheets(
                 sp, strings, args.font, scfg, scale=args.scale,
                 charset=charset, baked=getattr(args, "baked", 0),
+                phased=getattr(args, "phased", 0),
             )
         os.makedirs(args.out, exist_ok=True)
         for i, sheet in enumerate(sheets):
@@ -627,7 +629,21 @@ def main(argv: list[str] | None = None) -> int:
             "by bilinear gather at each window pixel's exact subpixel "
             "phase instead of re-evaluating the glyph MLP per pixel "
             "(render/implicit_sheet.py:compose_baked; ~1e-5 MSE delta at "
-            "SS=4, measured in RESULTS.md). 0 = exact per-window eval",
+            "SS=4, measured in RESULTS.md). A measured TPU NEGATIVE "
+            "(per-element gathers serialize) but ~330x faster on CPU; on "
+            "TPU use --phased. 0 = exact per-window eval",
+        )
+        p_ren.add_argument(
+            "--phased",
+            type=int,
+            default=0,
+            metavar="P",
+            help="with --implicit: the TPU-native fast path — bake every "
+            "glyph at PxP subpixel phases of the composite window and "
+            "place whole coverage blocks with one-hot positioning GEMMs "
+            "on the MXU (compose_phased, composite='matmul'; measured "
+            "80.7x the exact path at P=8 with +8.8e-5 MSE, RESULTS.md "
+            "round 5). Positions quantize to 1/P px. 0 = exact",
         )
         p_ren.add_argument(
             "--exported",

@@ -174,6 +174,7 @@ def render_learned_sheets(
     hard: bool = False,
     monotone: bool = False,
     baked: int = 0,
+    phased: int = 0,
 ) -> np.ndarray:
     """Fully neural strings -> sheets: NO layout engine in the loop.
 
@@ -212,6 +213,14 @@ def render_learned_sheets(
                 ids[si, ci] = k
                 known[si, ci] = True
     valid = jnp.asarray(known) & (jax.nn.sigmoid(logits) > 0.5)
+    if phased:
+        bank = bake_bank_phased(siren_params, cfg, lay, phases=phased)
+        return np.asarray(
+            compose_phased(
+                bank, jnp.asarray(ids), origins, valid, cfg, lay, phased,
+                composite="matmul",
+            )
+        )
     if baked:
         bank = bake_bank(siren_params, cfg, supersample=baked)
         return np.asarray(
@@ -483,6 +492,7 @@ def render_implicit_sheets(
     charset: str = PRINTABLE_ASCII,
     kerned: bool = True,
     baked: int = 0,
+    phased: int = 0,
 ) -> np.ndarray:
     """Strings -> [N, H*scale, W*scale] sheets from the implicit glyph bank.
 
@@ -496,6 +506,14 @@ def render_implicit_sheets(
     lay = build_layout(font, spec, cfg.cell, scale=scale)
     kern = font_kerning(font_path, charset, spec) if kerned else None
     ids, origins, valid = place_glyphs(strings, font, lay, spec, charset, kern)
+    if phased:
+        bank = bake_bank_phased(params, cfg, lay, phases=phased)
+        return np.asarray(
+            compose_phased(
+                bank, jnp.asarray(ids), jnp.asarray(origins),
+                jnp.asarray(valid), cfg, lay, phased, composite="matmul",
+            )
+        )
     if baked:
         bank = bake_bank(params, cfg, supersample=baked)
         return np.asarray(
