@@ -529,6 +529,21 @@ def cmd_serve(args) -> int:
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
 
+    # Opt-in hang diagnostics (same contract as tools/bench_serve.py):
+    # AFR_DUMP_AFTER=<seconds> arms a wall-clock deadline that dumps every
+    # thread's stack to stderr and exits. Needed because the remote-device
+    # runtime can block a device RPC indefinitely on a stale grant
+    # (measured round 5: a train-placement joint phase sat 27 min at 27 s
+    # CPU, wedged before its first device fetch), and no debugger is
+    # available in the image. Set it ABOVE the stage's expected wall time:
+    # it is a deadline, not an idle watchdog — it fires even if the run is
+    # making progress.
+    dump_after = os.environ.get("AFR_DUMP_AFTER")
+    if dump_after:
+        import faulthandler
+
+        faulthandler.dump_traceback_later(float(dump_after), exit=True)
+
     # The reference's bare contract first: no args, or --train (+ our
     # optional overrides). Subcommands are dispatched by their first token.
     if argv and argv[0] in (
