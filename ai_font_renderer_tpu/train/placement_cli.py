@@ -887,6 +887,19 @@ def run(args, ap: argparse.ArgumentParser) -> int:
         ),
         "font": args.font,
     }
+    if sp_eval is not sp:
+        # Joint runs tune the bank; the row above keeps the ORIGINAL bank
+        # as the cross-run-comparable floor, but the tuned bank's own
+        # engine-layout oracle is what the artifact locks pin (round 5:
+        # Montserrat's tuned bank measured 0.00221 vs the fresh bank's
+        # 0.00362 — the gap is the bank's share of the joint win), so log
+        # it too instead of leaving it to an offline re-measurement.
+        oracle_tuned = render_implicit_sheets(
+            sp_eval, TEST_STRINGS, font_path, scfg, spec, charset=charset
+        )
+        rec["engine_layout_oracle_tuned_mse"] = float(
+            np.mean((oracle_tuned - gt) ** 2)
+        )
     print(json.dumps(rec), flush=True)
     metrics.write(json.dumps(rec) + "\n")
     metrics.close()

@@ -101,6 +101,9 @@ def test_finetune_joint_chain_from_cli(tmp_path):
     e2e = [r for r in rows if "end_to_end_neural_render_mse" in r]
     assert e2e and np.isfinite(e2e[-1]["end_to_end_neural_render_mse"])
     assert np.isfinite(e2e[-1]["engine_layout_oracle_mse"])
+    # Joint runs tune the bank, so the tuned bank's own engine-layout
+    # oracle is logged alongside the original-bank floor (round 5).
+    assert np.isfinite(e2e[-1]["engine_layout_oracle_tuned_mse"])
     ft = [r for r in rows if "finetune_pixel_mse_last" in r]
     assert ft and np.isfinite(ft[-1]["finetune_pixel_mse_last"])
 
