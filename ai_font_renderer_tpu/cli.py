@@ -247,6 +247,24 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def _warn_bank_font_mismatch(bank_path: str, font_path: str) -> None:
+    """Warn loudly when a SIREN bank is composed with another font's
+    metrics (--font defaults to FiraCode; a Montserrat bank under
+    FiraCode advances/kerning lays out garbage and renders a near-blank
+    sheet). Banks saved before the tag existed (incl. the committed
+    artifacts) are untagged and skip the check."""
+    from .utils.checkpoint import siren_font
+
+    tag = siren_font(bank_path)
+    if tag is not None and tag != os.path.basename(font_path):
+        print(
+            f"WARNING: SIREN bank {bank_path} was trained against {tag} "
+            f"but --font is {os.path.basename(font_path)}; the composed "
+            "layout uses the wrong font's metrics and will render "
+            "garbage. Pass the matching --font."
+        )
+
+
 def cmd_render(args) -> int:
     from .render import render_strings
     from .utils.checkpoint import load_params_with_config
@@ -283,6 +301,7 @@ def cmd_render(args) -> int:
         if not os.path.exists(args.implicit):
             print(f"Error: SIREN bank not found: {args.implicit}")
             return 1
+        _warn_bank_font_mismatch(args.implicit, args.font)
         sp, scfg, charset = load_siren(args.implicit)
         strings = args.strings or TEST_STRINGS
         if getattr(args, "placement", None):
@@ -373,6 +392,7 @@ def cmd_export(args) -> int:
             if not os.path.exists(p):
                 print(f"Error: weights file not found: {p}")
                 return 1
+        _warn_bank_font_mismatch(args.implicit, args.font)
         pp, pcfg = load_params_with_config(args.placement)
         sp, scfg, charset = load_siren(args.implicit)
         n = export_neural_render(

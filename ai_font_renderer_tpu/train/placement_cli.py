@@ -716,7 +716,9 @@ def run(args, ap: argparse.ArgumentParser) -> int:
         sp, losses, _ = train_siren(
             font_path, scfg, charset=charset, steps=args.e2e_steps, lr=3e-4
         )
-    save_siren(sp, scfg, charset, os.path.join(out_dir, "siren.npz"))
+    save_siren(
+        sp, scfg, charset, os.path.join(out_dir, "siren.npz"), font=font_path
+    )
 
     atlas = bake_font_atlas(font_path, proportional=args.font == "montserrat")
 
@@ -861,6 +863,7 @@ def run(args, ap: argparse.ArgumentParser) -> int:
             save_siren(
                 sp_tuned, scfg, charset,
                 os.path.join(out_dir, "siren_finetuned.npz"),
+                font=font_path,
             )
             # The e2e eval row should measure what joint training bought:
             # the tuned bank renders the learned sheets. The oracle row

@@ -123,19 +123,26 @@ def load_params_with_config(filename: str = MODEL_FILENAME, base="default"):
 _SIREN_CONFIG_KEY = "__siren_config__"
 
 
-def save_siren(params: dict, cfg, charset: str, filename: str) -> None:
+def save_siren(
+    params: dict, cfg, charset: str, filename: str, font: str | None = None
+) -> None:
     """Persist an implicit glyph bank (models/siren.py) with its config.
 
     One npz: SIREN weights + a JSON entry carrying the SirenConfig fields
     and the charset the bank was trained on — everything the composition
     paths (render/implicit_sheet.py) need to reconstruct the renderer.
+    ``font`` (a TTF path; only the basename is stored) tags the bank with
+    the font it was trained against so render surfaces can flag a
+    mismatched ``--font`` — a bank composed with another font's metrics
+    lays glyphs out nonsensically and renders a near-blank sheet.
     """
     import dataclasses
 
     flat = {k: np.asarray(v) for k, v in params.items()}
-    flat[_SIREN_CONFIG_KEY] = np.array(
-        json.dumps({"cfg": dataclasses.asdict(cfg), "charset": charset})
-    )
+    meta = {"cfg": dataclasses.asdict(cfg), "charset": charset}
+    if font:
+        meta["font"] = os.path.basename(font)
+    flat[_SIREN_CONFIG_KEY] = np.array(json.dumps(meta))
     d = os.path.dirname(filename)
     if d:
         os.makedirs(d, exist_ok=True)
@@ -158,6 +165,16 @@ def load_siren(filename: str):
     }
     print(f"SIREN bank loaded from {filename}")
     return params, SirenConfig(**meta["cfg"]), meta["charset"]
+
+
+def siren_font(filename: str) -> str | None:
+    """The font basename a bank was trained against, or None for untagged
+    banks (every bank saved before the tag existed, incl. the committed
+    artifacts)."""
+    z = np.load(filename)
+    if _SIREN_CONFIG_KEY not in z.files:
+        return None
+    return json.loads(str(z[_SIREN_CONFIG_KEY][()])).get("font")
 
 
 class CheckpointManager:

@@ -330,6 +330,59 @@ def test_render_implicit_and_learned_placement(tmp_path):
     assert cli.main(["render", "HI", "--implicit", "/nonexistent.npz"]) == 1
 
 
+def test_render_warns_on_bank_font_mismatch(tmp_path, capsys):
+    """A SIREN bank tagged with its training font (save_siren font=) makes
+    the render surface warn when composed under a different --font —
+    the wrong font's advances/kerning lay out garbage and the sheet
+    comes out near-blank (measured: 0.02% ink vs 1.5%). Untagged banks
+    (saved before the tag, incl. the committed artifacts) skip the
+    check."""
+    import jax
+
+    from ai_font_renderer_tpu.config import MONTSERRAT_PATH
+    from ai_font_renderer_tpu.models import siren
+    from ai_font_renderer_tpu.utils.checkpoint import (
+        save_siren,
+        siren_font,
+    )
+
+    charset = " ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    scfg = siren.SirenConfig(
+        n_chars=len(charset), cell=16, hidden_dim=16, n_layers=2
+    )
+    sp = siren.init(jax.random.PRNGKey(0), scfg)
+
+    tagged = str(tmp_path / "tagged.npz")
+    save_siren(sp, scfg, charset, tagged, font=MONTSERRAT_PATH)
+    assert siren_font(tagged) == "Montserrat-Regular.ttf"
+
+    untagged = str(tmp_path / "untagged.npz")
+    save_siren(sp, scfg, charset, untagged)
+    assert siren_font(untagged) is None
+
+    # Mismatch: default --font is FiraCode; the Montserrat-tagged bank warns.
+    rc = cli.main(
+        ["render", "HI", "--implicit", tagged, "--out", str(tmp_path / "a")]
+    )
+    assert rc == 0
+    assert "WARNING" in capsys.readouterr().out
+
+    # Matching --font: no warning.
+    rc = cli.main(
+        ["render", "HI", "--implicit", tagged, "--font", MONTSERRAT_PATH,
+         "--out", str(tmp_path / "b")]
+    )
+    assert rc == 0
+    assert "WARNING" not in capsys.readouterr().out
+
+    # Untagged bank under any font: no warning (backward compat).
+    rc = cli.main(
+        ["render", "HI", "--implicit", untagged, "--out", str(tmp_path / "c")]
+    )
+    assert rc == 0
+    assert "WARNING" not in capsys.readouterr().out
+
+
 def test_render_fast_flag(tmp_path):
     """--fast renders with the bf16 frontend (serving-fast tier)."""
     import jax
